@@ -1,0 +1,83 @@
+"""Tests for the native TIFF parser/writer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tiatoolbox_tpu.wsicore.tiffio import TiffFile, TiffPyramidWriter
+
+
+@pytest.fixture(scope="module")
+def rgb_image() -> np.ndarray:
+    return np.random.default_rng(0).integers(0, 255, (97, 130, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "compression", ["raw", "tiff_lzw", "packbits", "tiff_deflate"]
+)
+def test_decode_pil_written(tmp_path, rgb_image, compression) -> None:
+    path = tmp_path / f"{compression}.tiff"
+    Image.fromarray(rgb_image).save(
+        path, compression=None if compression == "raw" else compression
+    )
+    tf = TiffFile(path)
+    out = tf.read_region(0, (0, 0), (130, 97))
+    assert np.array_equal(out, rgb_image)
+
+
+def test_deflate_pyramid_roundtrip(tmp_path, rgb_image) -> None:
+    writer = TiffPyramidWriter(tmp_path / "p.tiff", tile_size=64, compression="deflate")
+    writer.write([rgb_image])
+    tf = TiffFile(tmp_path / "p.tiff")
+    assert tf.pages[0].is_tiled
+    out = tf.read_region(0, (0, 0), (130, 97))
+    assert np.array_equal(out, rgb_image)
+
+
+def test_jpeg_pyramid_close(tmp_path) -> None:
+    img = np.full((200, 300, 3), 128, np.uint8)
+    img[50:100, 50:150] = (200, 30, 90)
+    writer = TiffPyramidWriter(
+        tmp_path / "j.tiff", tile_size=128, compression="jpeg", jpeg_quality=95
+    )
+    writer.write([img])
+    tf = TiffFile(tmp_path / "j.tiff")
+    out = tf.read_region(0, (0, 0), (300, 200))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3
+
+
+def test_region_clamping_and_fill(tmp_path, rgb_image) -> None:
+    writer = TiffPyramidWriter(tmp_path / "c.tiff", tile_size=64, compression="deflate")
+    writer.write([rgb_image])
+    tf = TiffFile(tmp_path / "c.tiff")
+    out = tf.read_region(0, (-10, -10), (50, 50), fill_value=7)
+    assert out.shape == (50, 50, 3)
+    assert np.all(out[:10, :10] == 7)
+    assert np.array_equal(out[10:, 10:], rgb_image[:40, :40])
+
+
+def test_svs_metadata(tmp_path) -> None:
+    from tiatoolbox_tpu.data.synth import make_synthetic_slide
+
+    path = tmp_path / "s.tiff"
+    make_synthetic_slide(path, size=(512, 384), mpp=0.25, objective_power=40)
+    tf = TiffFile(path)
+    meta = tf.svs_metadata()
+    assert meta["vendor"] == "aperio"
+    assert meta["mpp"] == (0.25, 0.25)
+    assert meta["objective_power"] == 40.0
+    assert len(tf.pyramid_pages()) >= 2
+
+
+def test_multilevel_descending(tmp_path) -> None:
+    from tiatoolbox_tpu.data.synth import make_synthetic_slide
+
+    path = tmp_path / "m.tiff"
+    make_synthetic_slide(path, size=(1024, 1024), tile_size=256)
+    tf = TiffFile(path)
+    pages = [tf.pages[i] for i in tf.pyramid_pages()]
+    widths = [p.width for p in pages]
+    assert widths == sorted(widths, reverse=True)
+    assert pages[1].width * 2 == pages[0].width

@@ -1,0 +1,969 @@
+"""Whole-slide image readers.
+
+Rebuild of the reference reader stack (``wsicore/wsireader.py``) on
+this project's own native TIFF/zarr backends:
+
+- ``WSIReader``: resolution algebra + generic ``read_rect`` /
+  ``read_bounds`` implemented once as template methods over an abstract
+  in-bounds level read (the reference re-implements the read logic per
+  reader; here concrete readers only provide ``_read_level_within``).
+- ``VirtualWSIReader``: ndarray/PNG/JPG-as-WSI with virtual scaling
+  (reference ``wsireader.py:3121-3694``).
+- ``TIFFWSIReader``: tiled pyramidal TIFF/SVS via ``tiffio.TiffFile``
+  (reference ``wsireader.py:3745-5190``, minus tifffile).
+- ``NGFFWSIReader``: OME-NGFF v0.4 zarr via ``zarrlite``
+  (reference ``wsireader.py:5725-6267``).
+- ``JP2WSIReader``: JPEG-2000 via OpenCV full-image decode
+  (reference ``wsireader.py:2516-3120`` uses glymur streaming).
+
+All readers are host-plane; they emit fixed-shape uint8 tiles consumed
+by the device pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from numbers import Number
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from tiatoolbox_tpu import logger, utils
+from tiatoolbox_tpu.utils import magic
+from tiatoolbox_tpu.utils.exceptions import FileNotSupportedError
+from tiatoolbox_tpu.utils.image import (
+    find_overlap,
+    find_padding,
+    sub_pixel_read,
+)
+from tiatoolbox_tpu.utils.transforms import (
+    background_composite,
+    bounds2locsize,
+    imresize,
+    locsize2bounds,
+)
+from tiatoolbox_tpu.wsicore.wsimeta import WSIMeta
+
+MIN_NGFF_VERSION = (0, 4)
+
+
+class WSIReader:
+    """Base whole-slide image reader.
+
+    Args:
+        input_img: Path to the slide or an ndarray.
+        mpp: Override microns-per-pixel metadata (x, y).
+        power: Override objective power metadata.
+    """
+
+    @staticmethod
+    def open(
+        input_img,
+        mpp=None,
+        power=None,
+        **kwargs,
+    ) -> "WSIReader":
+        """Sniff the input and return an appropriate reader instance.
+
+        Mirrors reference dispatch (``wsireader.py:343-419``): ndarray →
+        Virtual; suffix/magic → TIFF / JP2 / NGFF / Virtual readers.
+        """
+        if isinstance(input_img, np.ndarray):
+            return VirtualWSIReader(input_img, mpp=mpp, power=power, **kwargs)
+        if isinstance(input_img, WSIReader):
+            return input_img
+
+        path = Path(input_img)
+        if not path.exists():
+            msg = f"File does not exist: {path}"
+            raise FileNotFoundError(msg)
+
+        if path.is_dir():
+            if magic.is_ngff(path):
+                return NGFFWSIReader(path, mpp=mpp, power=power)
+            if magic.is_zarr(path):
+                return ZarrWSIReader(path, mpp=mpp, power=power)
+            msg = f"Directory is not a zarr/NGFF store: {path}"
+            raise FileNotSupportedError(msg)
+
+        suffixes = [s.lower() for s in path.suffixes]
+        last = suffixes[-1] if suffixes else ""
+        if last == ".npy":
+            return VirtualWSIReader(np.load(str(path)), mpp=mpp, power=power, **kwargs)
+        if magic.is_tiff(path):
+            return TIFFWSIReader(path, mpp=mpp, power=power)
+        if magic.is_jp2(path) or last == ".jp2":
+            return JP2WSIReader(path, mpp=mpp, power=power)
+        if magic.is_sqlite3(path) or last == ".db":
+            from tiatoolbox_tpu.wsicore.store_reader import AnnotationStoreReader
+
+            return AnnotationStoreReader(path, mpp=mpp, power=power, **kwargs)
+        if last in (".png", ".jpg", ".jpeg", ".webp", ".bmp"):
+            return VirtualWSIReader(path, mpp=mpp, power=power, **kwargs)
+        msg = f"File {path} is not a supported file format."
+        raise FileNotSupportedError(msg)
+
+    def __init__(self, input_img, mpp=None, power=None) -> None:
+        if isinstance(input_img, (str, Path)):
+            self.input_path: Path | None = Path(input_img)
+        else:
+            self.input_path = None
+        self._m_info: WSIMeta | None = None
+        self._manual_mpp = tuple(np.broadcast_to(mpp, 2).astype(float)) if mpp else None
+        self._manual_power = float(power) if power else None
+
+    # -- metadata --------------------------------------------------------------
+
+    @property
+    def info(self) -> WSIMeta:
+        """Cached slide metadata, with manual mpp/power overrides applied."""
+        if self._m_info is None:
+            self._m_info = self._info()
+            if self._manual_mpp:
+                self._m_info.mpp = np.array(self._manual_mpp)
+            if self._manual_power:
+                self._m_info.objective_power = self._manual_power
+        return self._m_info
+
+    @info.setter
+    def info(self, meta: WSIMeta) -> None:
+        self._m_info = meta
+
+    def _info(self) -> WSIMeta:
+        raise NotImplementedError
+
+    # -- resolution algebra (contract identical to the reference) ---------------
+
+    def _find_optimal_level_and_downsample(
+        self, resolution, units, precision: int = 3
+    ) -> tuple[int, np.ndarray]:
+        """Most-downscaled level that is still >= the target resolution.
+
+        Returns (level, post-read scale factor); reference
+        ``wsireader.py:744-802``.
+        """
+        level_scales = self.info.relative_level_scales(resolution, units)
+        sufficient = [
+            bool(np.all(np.round(x, decimals=precision) <= 1)) for x in level_scales
+        ]
+        if not any(sufficient):
+            level = 0
+        else:
+            level = (len(level_scales) - 1) - int(np.argmax(sufficient[::-1]))
+        scale = level_scales[level]
+        if np.any(np.array(scale) > 1):
+            logger.warning(
+                "Read: Scale > 1. This means that the desired resolution is "
+                "higher than the WSI baseline (maximum encoded resolution). "
+                "Interpolation of read regions may occur.",
+            )
+        return level, scale
+
+    def find_read_rect_params(
+        self, location, size, resolution, units, precision: int = 3
+    ) -> tuple:
+        """Optimal read level + coordinates for a read_rect call."""
+        read_level, post_read_scale = self._find_optimal_level_and_downsample(
+            resolution, units, precision
+        )
+        level_downsample = self.info.level_downsamples[read_level]
+        baseline_read_size = np.round(
+            np.array(size) * level_downsample / post_read_scale
+        ).astype(int)
+        level_read_size = np.round(np.array(size) / post_read_scale).astype(int)
+        level_location = np.round(np.array(location) / level_downsample).astype(int)
+        return (
+            read_level,
+            level_location,
+            level_read_size,
+            post_read_scale,
+            baseline_read_size,
+        )
+
+    def _find_read_params_at_resolution(
+        self, location, size, resolution, units
+    ) -> tuple:
+        """Read params when location/size are in the requested-resolution frame."""
+        read_level, read_level_to_resolution = self._find_optimal_level_and_downsample(
+            resolution, units
+        )
+        baseline_to_read_level = 1 / self.info.level_downsamples[read_level]
+        baseline_to_resolution = baseline_to_read_level * read_level_to_resolution
+        requested_location = np.array(location)
+        requested_size = np.array(size)
+        size_at_baseline = requested_size / baseline_to_resolution
+        location_at_baseline = (
+            requested_location.astype(np.float32) / baseline_to_resolution
+        )
+        size_at_read_level = requested_size / read_level_to_resolution
+        location_at_read_level = (
+            requested_location.astype(np.float32) / read_level_to_resolution
+        )
+        output = tuple(
+            np.ceil(v).astype(np.int64)
+            for v in (
+                size_at_read_level,
+                location_at_read_level,
+                size_at_baseline,
+                location_at_baseline,
+            )
+        )
+        return (read_level, read_level_to_resolution, *output)
+
+    def bounds_at_resolution_to_baseline(self, bounds, resolution, units):
+        """Convert bounds given at requested resolution to baseline frame."""
+        bounds = np.array(bounds)
+        tl, br = bounds[:2], bounds[2:]
+        size = br - tl
+        (_, _, _, _, size_at_baseline, location_at_baseline) = (
+            self._find_read_params_at_resolution(tl, size, resolution, units)
+        )
+        return np.concatenate(
+            [location_at_baseline, location_at_baseline + size_at_baseline]
+        )
+
+    def slide_dimensions(self, resolution, units, precision: int = 3) -> tuple:
+        """Slide (width, height) at the requested resolution."""
+        baseline = self.info.slide_dimensions
+        _, _, shape_at_resolution, _ = self.find_read_bounds_params(
+            [0, 0, *list(baseline)], resolution, units, precision
+        )
+        return tuple(shape_at_resolution)
+
+    def find_read_bounds_params(
+        self, bounds, resolution, units, precision: int = 3
+    ) -> tuple:
+        """Optimal read level + level bounds + output size for read_bounds."""
+        start_x, start_y, end_x, end_y = bounds
+        read_level, post_read_scale = self._find_optimal_level_and_downsample(
+            resolution, units, precision
+        )
+        level_downsample = self.info.level_downsamples[read_level]
+        location = np.array([start_x, start_y])
+        size = np.array([end_x - start_x, end_y - start_y])
+        level_size = np.round(size / level_downsample).astype(int)
+        level_location = np.round(location / level_downsample).astype(int)
+        level_bounds = (*level_location, *(level_location + level_size))
+        output_size = np.round(level_size * post_read_scale).astype(int)
+        return (read_level, level_bounds, output_size, post_read_scale)
+
+    @staticmethod
+    def _check_unit_conversion_integrity(
+        input_unit, output_unit, baseline_mpp, baseline_power
+    ) -> None:
+        if input_unit not in {"mpp", "power", "level", "baseline"}:
+            msg = (
+                "Invalid input_unit: argument accepts only one of the following "
+                "options: `'mpp'`, `'power'`, `'level'`, `'baseline'`."
+            )
+            raise ValueError(msg)
+        if output_unit not in {"mpp", "power", "baseline", None}:
+            msg = (
+                "Invalid output_unit: argument accepts only one of the following "
+                "options: `'mpp'`, `'power'`, `'baseline'`, or None (to return "
+                "all units)."
+            )
+            raise ValueError(msg)
+        if baseline_mpp is None and input_unit == "mpp":
+            msg = (
+                "Missing 'mpp': `input_unit` has been set to 'mpp' while there "
+                "is no information about 'mpp' in WSI meta data."
+            )
+            raise ValueError(msg)
+        if baseline_power is None and input_unit == "power":
+            msg = (
+                "Missing 'objective_power': `input_unit` has been set to 'power' "
+                "while there is no information about 'objective_power' in WSI "
+                "meta data."
+            )
+            raise ValueError(msg)
+
+    def convert_resolution_units(self, input_res, input_unit, output_unit=None):
+        """Convert a resolution between mpp/power/baseline unit systems."""
+        baseline_mpp = self.info.mpp
+        baseline_power = self.info.objective_power
+        self._check_unit_conversion_integrity(
+            input_unit, output_unit, baseline_mpp, baseline_power
+        )
+        out: dict = {"mpp": None, "power": None, "baseline": None}
+        if input_unit == "mpp":
+            if isinstance(input_res, (list, tuple, np.ndarray)):
+                out["mpp"] = np.array(input_res)
+            else:
+                out["mpp"] = np.array([input_res, input_res])
+            out["baseline"] = baseline_mpp[0] / out["mpp"][0]
+            if baseline_power is not None:
+                out["power"] = out["baseline"] * baseline_power
+        elif input_unit == "power":
+            out["baseline"] = input_res / baseline_power
+            out["power"] = input_res
+        elif input_unit == "level":
+            scales = self.info.relative_level_scales(input_res, input_unit)
+            out["baseline"] = scales[0]
+            if baseline_power is not None:
+                out["power"] = out["baseline"] * baseline_power
+        else:  # baseline
+            out["baseline"] = input_res
+            if baseline_power is not None:
+                out["power"] = baseline_power * out["baseline"]
+        if baseline_mpp is not None and input_unit != "mpp":
+            out["mpp"] = baseline_mpp / out["baseline"]
+        result = out[output_unit] if output_unit is not None else out
+        if result is None:
+            logger.warning(
+                "Although unit conversion from input_unit has been done, the "
+                "requested output_unit is returned as None. Probably due to "
+                "missing 'mpp' or 'objective_power' in slide's meta data.",
+            )
+        return result
+
+    # -- reading -----------------------------------------------------------------
+
+    def _read_level_within(self, location, size, level: int) -> np.ndarray:
+        """Read an in-bounds (clamped) region at a pyramid level.
+
+        Concrete readers must implement this; location/size in level
+        coordinates, guaranteed within the level image.
+        """
+        raise NotImplementedError
+
+    def _read_level_bounds(
+        self, bounds, level: int, pad_mode: str | None, pad_constant_values
+    ) -> np.ndarray:
+        """Read possibly out-of-bounds level bounds with edge padding."""
+        loc, size = bounds2locsize(bounds)
+        level_dims = self.info.level_dimensions[level]
+        overlap = find_overlap(loc, size, level_dims)
+        ov_loc, ov_size = bounds2locsize(overlap)
+        if np.any(ov_size <= 0):
+            n_ch = getattr(self, "_n_channels", 3)
+            region = np.zeros((max(size[1], 0), max(size[0], 0), n_ch), dtype=np.uint8)
+            if pad_mode == "constant" and not np.isscalar(pad_constant_values):
+                region[...] = pad_constant_values
+            elif pad_mode == "constant":
+                region[...] = pad_constant_values
+            return region
+        region = self._read_level_within(ov_loc, ov_size, level)
+        padding = find_padding(loc, size, level_dims)
+        if np.all(padding == 0):
+            return region
+        if pad_mode in ("none", None):
+            return region
+        if region.ndim > 2:
+            padding = np.concatenate([padding, [[0, 0]]])
+        if pad_mode == "constant":
+            return np.pad(
+                region, padding, mode="constant", constant_values=pad_constant_values
+            )
+        return np.pad(region, padding, mode=pad_mode)
+
+    def read_rect(
+        self,
+        location,
+        size,
+        resolution=0,
+        units: str = "level",
+        interpolation: str = "optimise",
+        pad_mode: str = "constant",
+        pad_constant_values=0,
+        coord_space: str = "baseline",
+        **kwargs,
+    ) -> np.ndarray:
+        """Read a region: location at baseline, size at output resolution.
+
+        See reference ``wsireader.py:1360-1553`` for the full semantics;
+        the field of view varies with resolution.
+        """
+        if coord_space == "resolution":
+            return self.read_rect_at_resolution(
+                location,
+                size,
+                resolution=resolution,
+                units=units,
+                interpolation=interpolation,
+                pad_mode=pad_mode,
+                pad_constant_values=pad_constant_values,
+                **kwargs,
+            )
+        (read_level, level_location, level_read_size, _, _) = (
+            self.find_read_rect_params(location, size, resolution, units)
+        )
+        bounds = locsize2bounds(level_location, level_read_size)
+        region = self._read_level_bounds(
+            bounds, read_level, pad_mode, pad_constant_values
+        )
+        if interpolation not in (None, "none"):
+            region = imresize(
+                region, output_size=tuple(np.array(size)), interpolation=interpolation
+            )
+        return region
+
+    def read_rect_at_resolution(
+        self,
+        location,
+        size,
+        resolution=0,
+        units: str = "level",
+        **kwargs,
+    ) -> np.ndarray:
+        """read_rect with location/size in the requested-resolution frame."""
+        tl = np.array(location)
+        br = tl + np.array(size)
+        bounds = np.concatenate([tl, br])
+        return self.read_bounds(
+            bounds,
+            resolution=resolution,
+            units=units,
+            coord_space="resolution",
+            **kwargs,
+        )
+
+    def read_bounds(
+        self,
+        bounds,
+        resolution=0,
+        units: str = "level",
+        interpolation: str = "optimise",
+        pad_mode: str = "constant",
+        pad_constant_values=0,
+        coord_space: str = "baseline",
+        **kwargs,
+    ) -> np.ndarray:
+        """Read a baseline-frame bounds region; FOV fixed across resolutions."""
+        bounds_at_baseline = bounds
+        if coord_space == "resolution":
+            bounds_at_baseline = self.bounds_at_resolution_to_baseline(
+                bounds, resolution, units
+            )
+            _, size_at_requested = bounds2locsize(bounds)
+            read_level, level_bounds, _, post_read_scale = (
+                self.find_read_bounds_params(bounds_at_baseline, resolution, units)
+            )
+        else:
+            read_level, level_bounds, size_at_requested, post_read_scale = (
+                self.find_read_bounds_params(bounds_at_baseline, resolution, units)
+            )
+        region = self._read_level_bounds(
+            level_bounds, read_level, pad_mode, pad_constant_values
+        )
+        if interpolation not in (None, "none"):
+            region = imresize(
+                region,
+                output_size=tuple(np.array(size_at_requested)),
+                interpolation=interpolation,
+            )
+        return region
+
+    def read_region(self, location, level: int, size) -> np.ndarray:
+        """OpenSlide-compatible read: location at baseline, size at level."""
+        return self.read_rect(
+            location=location,
+            size=size,
+            resolution=level,
+            units="level",
+        )
+
+    # -- conveniences -------------------------------------------------------------
+
+    def slide_thumbnail(self, resolution=1.25, units: str = "power") -> np.ndarray:
+        """Whole-slide thumbnail at the requested (low) resolution."""
+        slide_dims = self.info.slide_dimensions
+        bounds = [0, 0, *slide_dims]
+        return self.read_bounds(bounds, resolution=resolution, units=units)
+
+    def tissue_mask(
+        self,
+        method: str = "otsu",
+        resolution=1.25,
+        units: str = "power",
+        **masker_kwargs,
+    ) -> "VirtualWSIReader":
+        """Compute a tissue mask and return it as a VirtualWSIReader."""
+        from tiatoolbox_tpu.tools import tissuemask
+
+        thumbnail = self.slide_thumbnail(resolution, units)
+        if method not in ("otsu", "morphological"):
+            msg = f"Method {method} is not supported."
+            raise ValueError(msg)
+        if method == "morphological":
+            mpp = None
+            power = None
+            if units == "mpp":
+                mpp = resolution
+            elif units == "power":
+                power = resolution
+            masker = tissuemask.MorphologicalMasker(
+                mpp=mpp, power=power, **masker_kwargs
+            )
+        else:
+            masker = tissuemask.OtsuTissueMasker(**masker_kwargs)
+        mask_img = masker.fit_transform([thumbnail])[0]
+        return VirtualWSIReader(mask_img.astype(np.uint8), info=self.info, mode="bool")
+
+    def save_tiles(
+        self,
+        output_dir,
+        tile_objective_value: int,
+        tile_read_size: tuple[int, int],
+        tile_format: str = ".jpg",
+        *,
+        verbose: bool = False,
+    ) -> None:
+        """Save slide tiles at a given objective power to a directory."""
+        output_dir = Path(output_dir)
+        if self.input_path is not None:
+            output_dir = output_dir / self.input_path.name
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+        rescale = self.info.objective_power / tile_objective_value
+        if not float(rescale).is_integer():
+            msg = (
+                "Tile objective value must be an integer multiple of the "
+                "objective power of the slide."
+            )
+            raise ValueError(msg)
+        w, h = self.slide_dimensions(tile_objective_value, "power")
+        tw, th = int(tile_read_size[0]), int(tile_read_size[1])
+        import csv
+
+        rows = []
+        iter_idx = 0
+        for y in range(0, h, th):
+            for x in range(0, w, tw):
+                cw, ch = min(tw, w - x), min(th, h - y)
+                tile = self.read_rect(
+                    location=(int(x * rescale), int(y * rescale)),
+                    size=(cw, ch),
+                    resolution=tile_objective_value,
+                    units="power",
+                )
+                name = f"Tile_{tile_objective_value}_{x}_{y}{tile_format}"
+                utils.misc.imwrite(output_dir / name, tile)
+                rows.append([iter_idx, name, x, y, cw, ch])
+                iter_idx += 1
+                if verbose:
+                    logger.info("Saved tile %s", name)
+        thumb = self.slide_thumbnail()
+        utils.misc.imwrite(output_dir / "slide_thumbnail.jpg", thumb)
+        with (output_dir / "Output.csv").open("w", newline="") as fh:
+            writer = csv.writer(fh)
+            writer.writerow(
+                ["iter", "Tile_Name", "start_w", "start_h", "end_w", "end_h"]
+            )
+            writer.writerows(rows)
+
+
+class VirtualWSIReader(WSIReader):
+    """Array/flat-image reader with virtual pyramid scaling.
+
+    ``mode`` is one of "rgb", "bool" (masks; nearest interpolation), or
+    "feature" (arbitrary channels). A donor ``info`` WSIMeta rescales
+    coordinates from the donor baseline onto this image.
+    """
+
+    def __init__(
+        self,
+        input_img,
+        mpp=None,
+        power=None,
+        info: WSIMeta | None = None,
+        mode: str = "rgb",
+    ) -> None:
+        super().__init__(input_img, mpp=mpp, power=power)
+        if mode.lower() not in ("rgb", "bool", "feature"):
+            msg = "Invalid mode."
+            raise ValueError(msg)
+        if isinstance(input_img, np.ndarray):
+            self.img = input_img
+        else:
+            self.img = utils.misc.imread(self.input_path)
+        if self.img.ndim < 2:
+            msg = "Input image must be 2D (H, W) or 3D (H, W, C)."
+            raise ValueError(msg)
+        if mode != "bool" and (self.img.ndim == 2 or self.img.shape[2] not in (3, 4)):
+            logger.warning(
+                "The image mode is set to 'feature' as the input dimensions do "
+                "not match with binary mask or RGB/RGBA.",
+            )
+            mode = "feature"
+        self.mode = mode.lower()
+        if info is not None:
+            self._m_info = info
+
+    def _info(self) -> WSIMeta:
+        return WSIMeta(
+            file_path=self.input_path,
+            axes="YXS",
+            objective_power=None,
+            slide_dimensions=self.img.shape[:2][::-1],
+            level_count=1,
+            level_dimensions=(self.img.shape[:2][::-1],),
+            level_downsamples=[1.0],
+            vendor=None,
+            mpp=None,
+            raw=None,
+        )
+
+    def _find_params_from_baseline(self, location, baseline_read_size):
+        """Scale baseline coordinates onto this (possibly smaller) image."""
+        baseline_size = np.array(self.info.slide_dimensions)
+        image_size = np.array(self.img.shape[:2][::-1])
+        size_ratio = image_size / baseline_size
+        image_location = np.array(location, dtype=np.float32) * size_ratio
+        read_size = np.array(baseline_read_size) * size_ratio
+        return image_location, read_size
+
+    def read_rect(
+        self,
+        location,
+        size,
+        resolution=0,
+        units: str = "level",
+        interpolation: str = "optimise",
+        pad_mode: str = "constant",
+        pad_constant_values=0,
+        coord_space: str = "baseline",
+        **kwargs,
+    ) -> np.ndarray:
+        if coord_space == "resolution":
+            return self.read_rect_at_resolution(
+                location,
+                size,
+                resolution=resolution,
+                units=units,
+                interpolation=interpolation,
+                pad_mode=pad_mode,
+                pad_constant_values=pad_constant_values,
+            )
+        (_, _, _, _, baseline_read_size) = self.find_read_rect_params(
+            location, size, resolution, units
+        )
+        image_location, image_read_size = self._find_params_from_baseline(
+            location, baseline_read_size
+        )
+        bounds = locsize2bounds(image_location, image_read_size)
+        if interpolation == "optimise" and self.mode == "bool":
+            interpolation = "nearest"
+        output_size = None if interpolation in (None, "none") else size
+        region = sub_pixel_read(
+            self.img,
+            bounds,
+            output_size=output_size,
+            interpolation=interpolation,
+            pad_mode=pad_mode,
+            pad_constant_values=pad_constant_values,
+            read_kwargs=kwargs,
+            pad_at_baseline=False,
+        )
+        if self.mode == "rgb":
+            return background_composite(region, alpha=False)
+        return region
+
+    def read_bounds(
+        self,
+        bounds,
+        resolution=0,
+        units: str = "level",
+        interpolation: str = "optimise",
+        pad_mode: str = "constant",
+        pad_constant_values=0,
+        coord_space: str = "baseline",
+        **kwargs,
+    ) -> np.ndarray:
+        bounds_at_baseline = bounds
+        if coord_space == "resolution":
+            bounds_at_baseline = self.bounds_at_resolution_to_baseline(
+                bounds, resolution, units
+            )
+            _, size_at_requested = bounds2locsize(bounds)
+            _, _, _, post_read_scale = self.find_read_bounds_params(
+                bounds_at_baseline, resolution=resolution, units=units
+            )
+        else:
+            _, _, size_at_requested, post_read_scale = self.find_read_bounds_params(
+                bounds_at_baseline, resolution=resolution, units=units
+            )
+        location_at_read, size_at_read = self._find_params_from_baseline(
+            *bounds2locsize(bounds_at_baseline)
+        )
+        bounds_at_read = locsize2bounds(location_at_read, size_at_read)
+        if interpolation in (None, "none"):
+            interpolation = None
+        if interpolation == "optimise" and self.mode == "bool":
+            interpolation = "nearest"
+        region = sub_pixel_read(
+            self.img,
+            bounds_at_read,
+            output_size=size_at_requested,
+            interpolation=interpolation,
+            pad_mode=pad_mode,
+            pad_constant_values=pad_constant_values,
+            read_kwargs=kwargs,
+            pad_at_baseline=False,
+        )
+        if coord_space == "resolution":
+            region = imresize(region, output_size=size_at_requested)
+        else:
+            region = imresize(
+                region, scale_factor=post_read_scale, output_size=size_at_requested
+            )
+        if self.mode == "rgb":
+            return background_composite(region, alpha=False)
+        return region
+
+
+class TIFFWSIReader(WSIReader):
+    """Tiled pyramidal TIFF / SVS / OME-TIFF reader on ``tiffio``."""
+
+    def __init__(self, input_img, mpp=None, power=None) -> None:
+        super().__init__(input_img, mpp=mpp, power=power)
+        from tiatoolbox_tpu.wsicore.tiffio import TiffFile
+
+        self.tiff = TiffFile(self.input_path)
+        self._level_pages = self.tiff.pyramid_pages()
+        if not self._level_pages:
+            msg = f"No image pyramid found in {self.input_path}"
+            raise FileNotSupportedError(msg)
+        base = self.tiff.pages[self._level_pages[0]]
+        self._n_channels = base.samples_per_pixel
+
+    def _info(self) -> WSIMeta:
+        pages = [self.tiff.pages[i] for i in self._level_pages]
+        base = pages[0]
+        level_dims = [(p.width, p.height) for p in pages]
+        downsamples = [base.width / p.width for p in pages]
+        meta = self.tiff.svs_metadata()
+        mpp = meta["mpp"]
+        objective_power = meta["objective_power"]
+        if objective_power is None and mpp is not None:
+            objective_power = float(utils.misc.mpp2common_objective_power(mpp[0]))
+        return WSIMeta(
+            file_path=self.input_path,
+            axes="YXS",
+            slide_dimensions=(base.width, base.height),
+            level_dimensions=level_dims,
+            level_downsamples=downsamples,
+            level_count=len(pages),
+            vendor=meta["vendor"],
+            mpp=mpp,
+            objective_power=objective_power,
+            raw={"description": base.description},
+        )
+
+    def _read_level_within(self, location, size, level: int) -> np.ndarray:
+        page_index = self._level_pages[level]
+        return self.tiff.read_region(
+            page_index, tuple(int(v) for v in location), tuple(int(v) for v in size)
+        )
+
+
+class JP2WSIReader(WSIReader):
+    """JPEG-2000 reader via full-image OpenCV decode.
+
+    Suitable for modest jp2 files; a streaming OpenJPEG C++ backend is
+    the planned upgrade path for gigapixel jp2.
+    """
+
+    def __init__(self, input_img, mpp=None, power=None) -> None:
+        super().__init__(input_img, mpp=mpp, power=power)
+        img = cv2.imread(str(self.input_path), cv2.IMREAD_UNCHANGED)
+        if img is None:
+            msg = f"Could not decode JP2 file: {self.input_path}"
+            raise FileNotSupportedError(msg)
+        if img.ndim == 3 and img.shape[2] == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        self.img = img
+        self._n_channels = 1 if img.ndim == 2 else img.shape[2]
+        # Parse capture-resolution box for mpp if present.
+        self._file_mpp = self._parse_jp2_mpp(self.input_path)
+
+    @staticmethod
+    def _parse_jp2_mpp(path: Path) -> tuple[float, float] | None:
+        try:
+            data = path.read_bytes()[: 1 << 20]
+        except OSError:  # pragma: no cover
+            return None
+        idx = data.find(b"resc")
+        if idx < 0 or idx + 14 > len(data):
+            return None
+        import struct as _struct
+
+        vr_n, vr_d, hr_n, hr_d, vr_e, hr_e = _struct.unpack(
+            ">HHHHbb", data[idx + 4 : idx + 14]
+        )
+        if vr_d == 0 or hr_d == 0:
+            return None
+        v_ppm = (vr_n / vr_d) * (10.0**vr_e)  # points per metre
+        h_ppm = (hr_n / hr_d) * (10.0**hr_e)
+        if v_ppm <= 0 or h_ppm <= 0:
+            return None
+        return (1e6 / h_ppm, 1e6 / v_ppm)
+
+    def _info(self) -> WSIMeta:
+        h, w = self.img.shape[:2]
+        # Virtual pyramid of power-of-two levels down to ~512px.
+        level_dims = [(w, h)]
+        while min(level_dims[-1]) > 512:
+            pw, ph = level_dims[-1]
+            level_dims.append((max(1, pw // 2), max(1, ph // 2)))
+        downs = [w / d[0] for d in level_dims]
+        mpp = self._file_mpp
+        power = (
+            float(utils.misc.mpp2common_objective_power(mpp[0])) if mpp else None
+        )
+        return WSIMeta(
+            file_path=self.input_path,
+            axes="YXS",
+            slide_dimensions=(w, h),
+            level_dimensions=level_dims,
+            level_downsamples=downs,
+            level_count=len(level_dims),
+            vendor="jp2",
+            mpp=mpp,
+            objective_power=power,
+            raw={},
+        )
+
+    def _read_level_within(self, location, size, level: int) -> np.ndarray:
+        ds = self.info.level_downsamples[level]
+        x0, y0 = int(location[0] * ds), int(location[1] * ds)
+        w0, h0 = int(size[0] * ds), int(size[1] * ds)
+        region = self.img[y0 : y0 + h0, x0 : x0 + w0]
+        if ds != 1:
+            region = imresize(region, output_size=(int(size[0]), int(size[1])))
+        if region.ndim == 2:
+            region = region[:, :, None]
+        return region
+
+
+class ZarrWSIReader(WSIReader):
+    """Reader for a plain zarr array / group of level arrays (YXS axes)."""
+
+    def __init__(self, input_img, mpp=None, power=None) -> None:
+        super().__init__(input_img, mpp=mpp, power=power)
+        from tiatoolbox_tpu.utils.zarrlite import ZarrArray, ZarrGroup, open_zarr
+
+        store = open_zarr(self.input_path)
+        if isinstance(store, ZarrArray):
+            self._levels = [store]
+        else:
+            assert isinstance(store, ZarrGroup)
+            self._levels = [store[k] for k in store.keys()]  # noqa: SIM118
+            self._levels.sort(key=lambda a: -a.shape[1])
+        self._n_channels = (
+            self._levels[0].shape[2] if self._levels[0].ndim > 2 else 1
+        )
+
+    def _info(self) -> WSIMeta:
+        dims = [(a.shape[1], a.shape[0]) for a in self._levels]
+        base = dims[0]
+        return WSIMeta(
+            file_path=self.input_path,
+            axes="YXS",
+            slide_dimensions=base,
+            level_dimensions=dims,
+            level_downsamples=[base[0] / d[0] for d in dims],
+            level_count=len(dims),
+            vendor="zarr",
+            mpp=None,
+            objective_power=None,
+            raw=None,
+        )
+
+    def _read_level_within(self, location, size, level: int) -> np.ndarray:
+        x0, y0 = int(location[0]), int(location[1])
+        w, h = int(size[0]), int(size[1])
+        region = self._levels[level][y0 : y0 + h, x0 : x0 + w]
+        if region.ndim == 2:
+            region = region[:, :, None]
+        return region
+
+
+class NGFFWSIReader(ZarrWSIReader):
+    """OME-NGFF v0.4 multiscales reader (zarr group with attrs)."""
+
+    def __init__(self, input_img, mpp=None, power=None) -> None:
+        WSIReader.__init__(self, input_img, mpp=mpp, power=power)
+        from tiatoolbox_tpu.utils.zarrlite import ZarrGroup
+
+        group = ZarrGroup(self.input_path)
+        attrs = group.attrs
+        multiscales = attrs.get("multiscales", [{}])[0]
+        version = multiscales.get("version", "0.4")
+        if tuple(int(v) for v in str(version).split(".")[:2]) < MIN_NGFF_VERSION:
+            logger.warning("NGFF version %s may not be fully supported.", version)
+        self._axes = [a["name"].upper() for a in multiscales.get("axes", [])] or [
+            "Y",
+            "X",
+            "C",
+        ]
+        datasets = multiscales.get("datasets", [])
+        self._levels = [group[d["path"]] for d in datasets]
+        self._scales = [
+            d.get("coordinateTransformations", [{}])[0].get("scale") for d in datasets
+        ]
+        self._mpp_from_axes = self._extract_mpp(multiscales)
+        self._n_channels = (
+            self._levels[0].shape[-1] if self._levels[0].ndim > 2 else 1
+        )
+
+    def _extract_mpp(self, multiscales: dict) -> tuple[float, float] | None:
+        axes = multiscales.get("axes", [])
+        datasets = multiscales.get("datasets", [])
+        if not datasets:
+            return None
+        scale = datasets[0].get("coordinateTransformations", [{}])[0].get("scale")
+        if scale is None:
+            return None
+        mpp_x = mpp_y = None
+        for i, ax in enumerate(axes):
+            unit = (ax.get("unit") or "").lower()
+            factor = {"micrometer": 1.0, "nanometer": 1e-3, "millimeter": 1e3}.get(unit)
+            if factor is None:
+                continue
+            if ax["name"].lower() == "x":
+                mpp_x = scale[i] * factor
+            elif ax["name"].lower() == "y":
+                mpp_y = scale[i] * factor
+        if mpp_x and mpp_y:
+            return (mpp_x, mpp_y)
+        return None
+
+    def _info(self) -> WSIMeta:
+        yi = self._axes.index("Y") if "Y" in self._axes else 0
+        xi = self._axes.index("X") if "X" in self._axes else 1
+        dims = [(a.shape[xi], a.shape[yi]) for a in self._levels]
+        base = dims[0]
+        mpp = self._mpp_from_axes
+        power = (
+            float(utils.misc.mpp2common_objective_power(mpp[0])) if mpp else None
+        )
+        return WSIMeta(
+            file_path=self.input_path,
+            axes="YXS",
+            slide_dimensions=base,
+            level_dimensions=dims,
+            level_downsamples=[base[0] / d[0] for d in dims],
+            level_count=len(dims),
+            vendor="ngff",
+            mpp=mpp,
+            objective_power=power,
+            raw=None,
+        )
+
+    def _read_level_within(self, location, size, level: int) -> np.ndarray:
+        arr = self._levels[level]
+        x0, y0 = int(location[0]), int(location[1])
+        w, h = int(size[0]), int(size[1])
+        if self._axes[:2] == ["Y", "X"] or arr.ndim == 2:
+            region = arr[y0 : y0 + h, x0 : x0 + w]
+        elif self._axes[:3] == ["C", "Y", "X"]:
+            region = arr[:, y0 : y0 + h, x0 : x0 + w]
+            region = np.moveaxis(region, 0, -1)
+        else:
+            region = arr[y0 : y0 + h, x0 : x0 + w]
+        if region.ndim == 2:
+            region = region[:, :, None]
+        return region
