@@ -9,13 +9,19 @@ from __future__ import annotations
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the first jax backend initialisation.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu"; override it
+# so tests run on the virtual 8-device CPU mesh (fast + deterministic).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
