@@ -1,0 +1,175 @@
+"""Tests for the abstract engine via a minimal concrete subclass."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tiatoolbox_tpu.data.synth import make_synthetic_slide, synthetic_he_patch
+from tiatoolbox_tpu.models.architecture.vanilla import CNNModel
+from tiatoolbox_tpu.models.engine.engine_abc import (
+    EngineABC,
+    prepare_engines_save_dir,
+)
+from tiatoolbox_tpu.models.engine.io_config import (
+    IOPatchPredictorConfig,
+    IOSegmentorConfig,
+    ModelIOConfigABC,
+)
+
+
+class TestEngine(EngineABC):
+    """Concrete engine exercising the abstract run loop."""
+
+
+@pytest.fixture(scope="module")
+def small_model() -> CNNModel:
+    model = CNNModel("resnet18", num_classes=3)
+    model.init(input_shape=(1, 32, 32, 3))
+    return model
+
+
+@pytest.fixture(scope="module")
+def slide_path(tmp_path_factory) -> str:
+    path = tmp_path_factory.mktemp("eng") / "s.tiff"
+    make_synthetic_slide(path, size=(1024, 768), mpp=0.5, objective_power=20)
+    return str(path)
+
+
+class TestIOConfig:
+    def test_basic(self) -> None:
+        cfg = ModelIOConfigABC(
+            input_resolutions=[{"units": "mpp", "resolution": 0.5}],
+            patch_input_shape=(224, 224),
+        )
+        assert cfg.stride_shape == (224, 224)
+        assert cfg.highest_input_resolution == {"units": "mpp", "resolution": 0.5}
+
+    def test_highest_mpp_is_min(self) -> None:
+        cfg = ModelIOConfigABC(
+            input_resolutions=[
+                {"units": "mpp", "resolution": 0.5},
+                {"units": "mpp", "resolution": 0.25},
+            ],
+            patch_input_shape=(224, 224),
+        )
+        assert cfg.highest_input_resolution["resolution"] == 0.25
+
+    def test_mixed_units_rejected(self) -> None:
+        with pytest.raises(ValueError, match="Mixing"):
+            ModelIOConfigABC(
+                input_resolutions=[
+                    {"units": "mpp", "resolution": 0.5},
+                    {"units": "power", "resolution": 20},
+                ],
+                patch_input_shape=(224, 224),
+            )
+
+    def test_scale_to_highest(self) -> None:
+        scales = ModelIOConfigABC.scale_to_highest(
+            [{"units": "mpp", "resolution": 0.25}, {"units": "mpp", "resolution": 0.5}],
+            "mpp",
+        )
+        assert np.allclose(scales, [1.0, 0.5])
+
+    def test_to_baseline(self) -> None:
+        cfg = IOSegmentorConfig(
+            input_resolutions=[{"units": "mpp", "resolution": 0.5}],
+            output_resolutions=[{"units": "mpp", "resolution": 1.0}],
+            patch_input_shape=(256, 256),
+            save_resolution={"units": "mpp", "resolution": 2.0},
+        )
+        base = cfg.to_baseline()
+        assert base.input_resolutions[0] == {"units": "baseline", "resolution": 1.0}
+        assert base.output_resolutions[0]["resolution"] == 0.5
+        assert base.save_resolution["resolution"] == 0.25
+
+
+class TestEngineRun:
+    def test_patch_mode(self, small_model) -> None:
+        engine = TestEngine(small_model, batch_size=4, num_loader_workers=0)
+        patches = np.stack(
+            [synthetic_he_patch((32, 32), seed=s) for s in range(6)]
+        )
+        out = engine.run(patches, patch_mode=True)
+        assert out["probabilities"].shape == (6, 3)
+
+    def test_patch_mode_labels(self, small_model) -> None:
+        engine = TestEngine(small_model, batch_size=4, num_loader_workers=0)
+        patches = np.stack(
+            [synthetic_he_patch((32, 32), seed=s) for s in range(6)]
+        )
+        out = engine.run(
+            patches, labels=np.arange(6), patch_mode=True, return_labels=True
+        )
+        assert np.array_equal(out["labels"], np.arange(6))
+
+    def test_wsi_mode_dict(self, small_model, slide_path) -> None:
+        engine = TestEngine(small_model, batch_size=8, num_loader_workers=2)
+        ioconfig = IOPatchPredictorConfig(
+            input_resolutions=[{"units": "mpp", "resolution": 2.0}],
+            patch_input_shape=(32, 32),
+        )
+        out = engine.run(
+            [slide_path], patch_mode=False, ioconfig=ioconfig, auto_get_mask=False
+        )
+        wsi_out = out[slide_path]
+        n = wsi_out["probabilities"].shape[0]
+        assert wsi_out["coordinates"].shape == (n, 4)
+        # slide at 2mpp = 256x192 → grid of 32px patches = 8x6
+        assert n == 48
+
+    def test_wsi_mode_zarr(self, small_model, slide_path, tmp_path) -> None:
+        engine = TestEngine(small_model, batch_size=8, num_loader_workers=0)
+        ioconfig = IOPatchPredictorConfig(
+            input_resolutions=[{"units": "mpp", "resolution": 2.0}],
+            patch_input_shape=(32, 32),
+        )
+        out = engine.run(
+            [slide_path],
+            patch_mode=False,
+            ioconfig=ioconfig,
+            output_type="zarr",
+            save_dir=tmp_path / "out",
+            auto_get_mask=False,
+        )
+        from tiatoolbox_tpu.utils.zarrlite import open_zarr
+
+        group = open_zarr(next(iter(out.values())))
+        assert "probabilities" in group.keys()  # noqa: SIM118
+
+    def test_masked_wsi_filters_grid(self, small_model, slide_path) -> None:
+        engine = TestEngine(small_model, batch_size=8, num_loader_workers=0)
+        ioconfig = IOPatchPredictorConfig(
+            input_resolutions=[{"units": "mpp", "resolution": 2.0}],
+            patch_input_shape=(32, 32),
+        )
+        mask = np.zeros((192, 256), dtype=np.uint8)
+        mask[:96, :128] = 1
+        out = engine.run(
+            [slide_path],
+            masks=[mask],
+            patch_mode=False,
+            ioconfig=ioconfig,
+            min_mask_ratio=0.5,
+        )
+        assert out[slide_path]["probabilities"].shape[0] == 12
+
+    def test_unknown_run_param(self, small_model) -> None:
+        engine = TestEngine(small_model, num_loader_workers=0)
+        with pytest.raises(TypeError, match="Unknown run parameter"):
+            engine.run(np.zeros((1, 32, 32, 3), np.uint8), bogus_param=1)
+
+    def test_missing_ioconfig(self, small_model, slide_path) -> None:
+        engine = TestEngine(small_model, num_loader_workers=0)
+        engine.ioconfig = None
+        with pytest.raises(ValueError, match="ioconfig"):
+            engine.run([slide_path], patch_mode=False)
+
+    def test_save_dir_exists(self, small_model, tmp_path) -> None:
+        (tmp_path / "d").mkdir()
+        with pytest.raises(FileExistsError):
+            prepare_engines_save_dir(tmp_path / "d", patch_mode=True)
+        assert prepare_engines_save_dir(
+            tmp_path / "d", patch_mode=True, overwrite=True
+        ).exists()

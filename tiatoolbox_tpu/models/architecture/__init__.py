@@ -1,0 +1,101 @@
+"""Flax model architectures and the pretrained registry.
+
+Registry design mirrors reference
+``models/architecture/__init__.py:27-178`` + ``data/pretrained_model.yaml``:
+each entry names an architecture class, constructor kwargs, and an
+ioconfig. Weights come from converted torch checkpoints via
+``weight_converter`` (this build is zero-egress: weights must be
+provided locally; otherwise models run with random initialisation and a
+warning, which is sufficient for shape/perf work).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from tiatoolbox_tpu import _get_pretrained_info, logger, rcParam
+
+
+def fetch_pretrained_weights(model_name: str) -> Path | None:
+    """Locate cached local weights for a registry model, if present.
+
+    Searches ``$TIATOOLBOX_TPU_HOME/models/{model_name}.npz`` (flax
+    format) then ``.pth`` (torch, converted on load). Returns None when
+    no weights are cached (zero-egress environments).
+    """
+    home = Path(rcParam["TIATOOLBOX_HOME"]) / "models"
+    for suffix in (".npz", ".pth", ".tar"):
+        candidate = home / f"{model_name}{suffix}"
+        if candidate.exists():
+            return candidate
+    return None
+
+
+def _locate_arch_class(class_name: str):
+    """Map a registry class name ("module.Class" or "Class") to its flax class."""
+    import importlib
+
+    if "." in class_name:
+        module_name, cls_name = class_name.rsplit(".", 1)
+    else:
+        module_name, cls_name = "vanilla", class_name
+    try:
+        module = importlib.import_module(
+            f"tiatoolbox_tpu.models.architecture.{module_name}"
+        )
+    except ImportError as exc:
+        msg = f"Architecture module {module_name!r} is not implemented."
+        raise ValueError(msg) from exc
+    if not hasattr(module, cls_name):
+        msg = f"Architecture class {class_name!r} is not implemented."
+        raise ValueError(msg)
+    return getattr(module, cls_name)
+
+
+def get_pretrained_model(
+    pretrained_model: str,
+    pretrained_weights: str | Path | None = None,
+    *,
+    overwrite: bool = False,  # noqa: ARG001 - API parity
+):
+    """Build a registry model + its ioconfig, loading weights if available.
+
+    Returns:
+        (ModelABC wrapper, ModelIOConfigABC) tuple.
+    """
+    from tiatoolbox_tpu.models.engine import io_config as ioc
+    from tiatoolbox_tpu.models.architecture.weight_converter import (
+        load_weights_into,
+    )
+
+    info = _get_pretrained_info()
+    if pretrained_model not in info:
+        msg = f"Pretrained model `{pretrained_model}` does not exist."
+        raise ValueError(msg)
+    cfg = info[pretrained_model]
+
+    arch_cfg = cfg["architecture"]
+    arch_cls = _locate_arch_class(arch_cfg["class"])
+    model = arch_cls(**arch_cfg.get("kwargs", {}))
+
+    if pretrained_weights is None:
+        pretrained_weights = fetch_pretrained_weights(pretrained_model)
+    if pretrained_weights is not None:
+        load_weights_into(model, pretrained_weights)
+    else:
+        logger.warning(
+            "No local weights found for %s; using random initialisation. "
+            "Place converted weights under %s/models/ to enable pretrained "
+            "inference.",
+            pretrained_model,
+            rcParam["TIATOOLBOX_HOME"],
+        )
+        model.init()
+
+    io_cfg = cfg["ioconfig"]
+    io_cls_name = io_cfg["class"].rsplit(".", 1)[-1]
+    io_cls = getattr(ioc, io_cls_name)
+    ioconfig = io_cls(**io_cfg.get("kwargs", {}))
+    return model, ioconfig

@@ -1,0 +1,118 @@
+"""Vanilla CNN patch classifiers and feature backbones.
+
+Reference: ``models/architecture/vanilla.py:256-683`` (CNNModel /
+CNNBackbone over the torchvision backbone dict). Here backbones are
+flax modules in NHWC; the forward program fuses normalize → backbone →
+GAP → linear → softmax into one XLA program, and ``infer_batch`` adds
+on-device argmax so only compact outputs cross back to the host.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiatoolbox_tpu.models.architecture.resnet import (
+    RESNET_CONFIGS,
+    RESNET_FEATURES,
+    ResNet,
+)
+from tiatoolbox_tpu.models.models_abc import ModelABC
+
+
+def argmax_last_axis(image: np.ndarray) -> np.ndarray:
+    """argmax over the last axis (reference ``architecture/utils.py``)."""
+    return np.argmax(image, axis=-1)
+
+
+backbone_dict = {name: (ResNet, cfg) for name, cfg in RESNET_CONFIGS.items()}
+
+
+def get_backbone(backbone: str, name: str = "backbone") -> tuple[nn.Module, int]:
+    """Instantiate a named backbone module and its feature width."""
+    if backbone not in backbone_dict:
+        msg = f"Backbone {backbone!r} not supported."
+        raise ValueError(msg)
+    cls, cfg = backbone_dict[backbone]
+    return cls(**cfg, name=name), RESNET_FEATURES[backbone]
+
+
+class _CNNClassifier(nn.Module):
+    """Backbone → global average pool → linear → softmax."""
+
+    backbone: str
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat_extract, _ = get_backbone(self.backbone)
+        feat = feat_extract(x)
+        pooled = jnp.mean(feat, axis=(1, 2))
+        logits = nn.Dense(self.num_classes, name="classifier")(pooled)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+class _CNNFeatures(nn.Module):
+    """Backbone → global average pool (feature embeddings)."""
+
+    backbone: str
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat_extract, _ = get_backbone(self.backbone)
+        feat = feat_extract(x)
+        return jnp.mean(feat, axis=(1, 2))
+
+
+class CNNModel(ModelABC):
+    """Patch classifier: named backbone + linear head, softmax output.
+
+    Args:
+        backbone: Backbone name (e.g. "resnet18").
+        num_classes: Number of output classes.
+    """
+
+    def __init__(self, backbone: str, num_classes: int = 1, **kwargs) -> None:
+        if backbone not in backbone_dict:
+            msg = f"Backbone {backbone!r} not supported."
+            raise ValueError(msg)
+        module = _CNNClassifier(backbone=backbone, num_classes=num_classes)
+        super().__init__(module, **kwargs)
+        self.backbone = backbone
+        self.num_classes = num_classes
+
+    @staticmethod
+    def postproc(image: np.ndarray) -> np.ndarray:
+        """argmax over class probabilities."""
+        return argmax_last_axis(image=image)
+
+    @staticmethod
+    def infer_batch(model: "CNNModel", batch_data, device: str | None = None):  # noqa: ARG004
+        """uint8 NHWC batch → softmax probabilities (numpy).
+
+        The cast + forward + softmax run as one device program; only
+        the [N, num_classes] probabilities are copied back.
+        """
+        batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
+        probs = model(batch)
+        return np.asarray(probs)
+
+
+class CNNBackbone(ModelABC):
+    """Feature extractor: named backbone + global average pooling."""
+
+    def __init__(self, backbone: str, **kwargs) -> None:
+        if backbone not in backbone_dict:
+            msg = f"Backbone {backbone!r} not supported."
+            raise ValueError(msg)
+        module = _CNNFeatures(backbone=backbone)
+        super().__init__(module, **kwargs)
+        self.backbone = backbone
+
+    @staticmethod
+    def infer_batch(model: "CNNBackbone", batch_data, device: str | None = None):  # noqa: ARG004
+        batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
+        feats = model(batch)
+        return np.asarray(feats)

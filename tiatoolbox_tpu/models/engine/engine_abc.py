@@ -1,0 +1,400 @@
+"""Abstract inference engine (reference ``models/engine/engine_abc.py``).
+
+Orchestrates: resolve model + ioconfig → plan patch grid → stream
+batches through the jitted device program → post-process → save.
+
+TPU-first differences from the reference:
+- the device program is one jitted XLA computation per (model, shape);
+  the batch axis is sharded over the ICI device mesh
+  (``tiatoolbox_tpu.parallel.mesh``) instead of DataParallel;
+- host feeding is the threaded double-buffered ``BatchLoader`` instead
+  of torch DataLoader worker processes;
+- outputs accumulate into NumPy (or zarrlite when large) instead of
+  Dask graphs.
+"""
+
+from __future__ import annotations
+
+import shutil
+from abc import ABC
+from pathlib import Path
+
+import numpy as np
+
+from tiatoolbox_tpu import DuplicateFilter, logger
+from tiatoolbox_tpu.models.dataset import PatchDataset, WSIPatchDataset
+from tiatoolbox_tpu.models.engine.io_config import ModelIOConfigABC
+from tiatoolbox_tpu.models.models_abc import ModelABC
+from tiatoolbox_tpu.parallel import BatchLoader
+from tiatoolbox_tpu.utils import misc
+
+
+def prepare_engines_save_dir(
+    save_dir, *, patch_mode: bool, overwrite: bool = False
+) -> Path | None:
+    """Create (or validate) the engine output directory."""
+    if save_dir is None:
+        return None
+    save_dir = Path(save_dir)
+    if save_dir.exists() and not overwrite:
+        msg = f"save_dir already exists: {save_dir}. Set overwrite=True."
+        raise FileExistsError(msg)
+    if save_dir.exists() and overwrite:
+        shutil.rmtree(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    return save_dir
+
+
+class EngineABC(ABC):
+    """Base engine: model resolution, run loop, and output plumbing.
+
+    Args:
+        model: Pretrained model name from the registry, or a ModelABC.
+        weights: Optional path to local weights (.npz flax / .pth torch).
+        batch_size: Fixed device batch size.
+        num_loader_workers: Host reader threads.
+        verbose: Log progress.
+    """
+
+    def __init__(
+        self,
+        model,
+        weights=None,
+        batch_size: int = 32,
+        num_loader_workers: int = 8,
+        device: str | None = None,
+        *,
+        verbose: bool = True,
+    ) -> None:
+        self.ioconfig: ModelIOConfigABC | None = None
+        self._ioconfig = None
+        self.model, self.ioconfig = self._initialize_model_ioconfig(model, weights)
+        self.batch_size = batch_size
+        self.num_loader_workers = num_loader_workers
+        self.device = device
+        self.verbose = verbose
+        self.images = None
+        self.masks = None
+        self.labels = None
+        self.patch_mode = True
+        # run-param defaults (EngineABCRunParams analogue)
+        self.resolution = None
+        self.units = None
+        self.patch_input_shape = None
+        self.stride_shape = None
+        self.min_mask_ratio = 0.0
+        self.auto_get_mask = True
+        self.return_labels = False
+        self.output_type = "dict"
+        self.scale_factor = (1.0, 1.0)
+        self.class_dict: dict | None = None
+
+    @staticmethod
+    def _initialize_model_ioconfig(model, weights):
+        """Resolve a model name/instance into (ModelABC, ioconfig|None)."""
+        if isinstance(model, str):
+            from tiatoolbox_tpu.models.architecture import get_pretrained_model
+
+            return get_pretrained_model(model, weights)
+        if isinstance(model, ModelABC):
+            if weights is not None:
+                from tiatoolbox_tpu.models.architecture.weight_converter import (
+                    load_weights_into,
+                )
+
+                load_weights_into(model, weights)
+            elif model.variables is None:
+                model.init()
+            return model, None
+        msg = "`model` must be a registry name or a ModelABC instance."
+        raise TypeError(msg)
+
+    # -- run-param handling ------------------------------------------------------
+
+    _RUN_PARAMS = (
+        "batch_size",
+        "num_loader_workers",
+        "resolution",
+        "units",
+        "patch_input_shape",
+        "stride_shape",
+        "min_mask_ratio",
+        "auto_get_mask",
+        "return_labels",
+        "output_type",
+        "scale_factor",
+        "class_dict",
+        "verbose",
+    )
+
+    def _update_run_params(self, **kwargs) -> None:
+        for key, value in kwargs.items():
+            if key not in self._RUN_PARAMS:
+                msg = f"Unknown run parameter: {key}"
+                raise TypeError(msg)
+            setattr(self, key, value)
+
+    def _update_ioconfig(self, ioconfig) -> ModelIOConfigABC:
+        """Merge explicit run params over the model's registry ioconfig."""
+        if ioconfig is not None:
+            self._ioconfig = ioconfig
+        elif self.ioconfig is not None:
+            self._ioconfig = self.ioconfig
+        elif self.patch_input_shape is not None:
+            self._ioconfig = ModelIOConfigABC(
+                input_resolutions=[
+                    {
+                        "units": self.units or "baseline",
+                        "resolution": self.resolution if self.resolution is not None else 1.0,
+                    }
+                ],
+                patch_input_shape=tuple(self.patch_input_shape),
+                stride_shape=(
+                    tuple(self.stride_shape) if self.stride_shape is not None else None
+                ),
+                output_resolutions=[],
+            )
+        else:
+            msg = (
+                "Must provide either `ioconfig` or `patch_input_shape` "
+                "(+ resolution/units) to run the engine."
+            )
+            raise ValueError(msg)
+        # explicit run params override registry values
+        if self.patch_input_shape is not None:
+            self._ioconfig.patch_input_shape = tuple(self.patch_input_shape)
+        if self.stride_shape is not None:
+            self._ioconfig.stride_shape = tuple(self.stride_shape)
+        if self.resolution is not None and self.units is not None:
+            self._ioconfig.input_resolutions = [
+                {"units": self.units, "resolution": self.resolution}
+            ]
+            self._ioconfig.__post_init__()
+        return self._ioconfig
+
+    # -- data loading -------------------------------------------------------------
+
+    def get_dataloader(
+        self,
+        images,
+        masks=None,
+        labels=None,
+        ioconfig: ModelIOConfigABC | None = None,
+        *,
+        patch_mode: bool = True,
+    ) -> BatchLoader:
+        """Build a BatchLoader over patches or a WSI grid."""
+        if patch_mode:
+            dataset = PatchDataset(inputs=images, labels=labels)
+            dataset.preproc_func = self.model.preproc_func
+        else:
+            ioconfig = ioconfig or self._ioconfig
+            resolution_dict = ioconfig.highest_input_resolution
+            patch_shape_wh = tuple(int(v) for v in np.array(ioconfig.patch_input_shape)[::-1])
+            stride_wh = tuple(int(v) for v in np.array(ioconfig.stride_shape)[::-1])
+            dataset = WSIPatchDataset(
+                img_path=images,
+                mode="wsi",
+                mask_path=masks,
+                patch_input_shape=patch_shape_wh,
+                stride_shape=stride_wh,
+                resolution=resolution_dict["resolution"],
+                units=resolution_dict["units"],
+                min_mask_ratio=self.min_mask_ratio,
+                preproc_func=self.model.preproc_func,
+                auto_get_mask=self.auto_get_mask,
+            )
+        return BatchLoader(
+            dataset,
+            batch_size=self.batch_size,
+            num_workers=self.num_loader_workers,
+        )
+
+    # -- inference ------------------------------------------------------------------
+
+    def infer_patches(self, dataloader: BatchLoader, *, return_coordinates: bool = False) -> dict:
+        """Stream batches through ``infer_batch``; accumulate host outputs."""
+        probabilities = []
+        coordinates = []
+        labels = []
+        for batch in dataloader:
+            raw = self.model.infer_batch(self.model, batch["image"], self.device)
+            n_valid = batch["n_valid"]
+            raw = np.asarray(raw)[:n_valid]
+            probabilities.append(raw)
+            if return_coordinates and "coords" in batch:
+                coordinates.append(batch["coords"][:n_valid])
+            if self.return_labels and "label" in batch:
+                labels.append(np.asarray(batch["label"])[:n_valid])
+        output = {"probabilities": np.concatenate(probabilities, axis=0)}
+        if coordinates:
+            output["coordinates"] = np.concatenate(coordinates, axis=0)
+        if labels:
+            output["labels"] = np.concatenate(labels, axis=0)
+        return output
+
+    def infer_wsi(self, dataloader: BatchLoader) -> dict:
+        """WSI-mode inference; default = patch inference with coordinates."""
+        return self.infer_patches(dataloader, return_coordinates=True)
+
+    # -- post-processing ---------------------------------------------------------------
+
+    def post_process_patches(self, raw_predictions: dict, **kwargs) -> dict:  # noqa: ARG002
+        """Hook: transform raw patch outputs (default passthrough)."""
+        return raw_predictions
+
+    def post_process_wsi(self, raw_predictions: dict, **kwargs) -> dict:  # noqa: ARG002
+        """Hook: transform raw WSI outputs (default passthrough)."""
+        return raw_predictions
+
+    # -- saving ---------------------------------------------------------------------------
+
+    def save_predictions(
+        self,
+        processed_predictions: dict,
+        output_type: str,
+        save_dir: Path | None = None,
+        output_file: str | None = None,
+        **kwargs,
+    ):
+        """Save predictions as dict / zarr / AnnotationStore db."""
+        if save_dir is None and output_type.lower() != "dict":
+            msg = f"`save_dir` must be provided for output_type={output_type}."
+            raise ValueError(msg)
+        if output_type.lower() == "dict":
+            return processed_predictions
+        if output_type.lower() == "zarr":
+            from tiatoolbox_tpu.utils.zarrlite import ZarrGroup
+
+            out_path = Path(save_dir) / (output_file or "output.zarr")
+            group = ZarrGroup.create(out_path)
+            for key, value in processed_predictions.items():
+                arr = np.asarray(value)
+                if arr.dtype == object:
+                    arr = arr.astype("U")
+                if arr.dtype.kind in "USO":
+                    group.attrs = {**group.attrs, key: arr.tolist()}
+                else:
+                    group.from_array(key, arr)
+            return out_path
+        if output_type.lower() in ("annotationstore", "qupath"):
+            from tiatoolbox_tpu.utils.store_conversion import (
+                dict_to_store_patch_predictions,
+            )
+
+            out_path = Path(save_dir) / (output_file or "output.db")
+            scale_factor = kwargs.get("scale_factor", self.scale_factor)
+            return dict_to_store_patch_predictions(
+                processed_predictions,
+                scale_factor=scale_factor,
+                class_dict=self.class_dict,
+                save_path=out_path,
+            )
+        msg = f"Unsupported output_type: {output_type}"
+        raise ValueError(msg)
+
+    # -- scale factor -------------------------------------------------------------------
+
+    def _calculate_scale_factor(self, dataloader: BatchLoader) -> tuple[float, float]:
+        """Baseline/extraction-resolution scale for store coordinates."""
+        dataset = dataloader.dataset
+        if not isinstance(dataset, WSIPatchDataset):
+            return (1.0, 1.0)
+        reader = dataset.reader
+        baseline_wh = np.array(reader.info.slide_dimensions, dtype=float)
+        read_wh = np.array(
+            reader.slide_dimensions(dataset.resolution, dataset.units), dtype=float
+        )
+        return tuple(baseline_wh / read_wh)
+
+    # -- run ------------------------------------------------------------------------------
+
+    def _run_patch_mode(self, output_type: str, save_dir: Path | None, **kwargs):
+        dataloader = self.get_dataloader(
+            images=self.images, labels=self.labels, patch_mode=True
+        )
+        raw = self.infer_patches(dataloader)
+        processed = self.post_process_patches(raw)
+        return self.save_predictions(processed, output_type, save_dir, **kwargs)
+
+    def _run_wsi_mode(self, output_type: str, save_dir: Path | None, **kwargs):
+        results = {}
+        masks = self.masks if self.masks is not None else [None] * len(self.images)
+        for idx, image in enumerate(self.images):
+            dataloader = self.get_dataloader(
+                images=image,
+                masks=masks[idx],
+                ioconfig=self._ioconfig,
+                patch_mode=False,
+            )
+            scale_factor = self._calculate_scale_factor(dataloader)
+            raw = self.infer_wsi(dataloader)
+            processed = self.post_process_wsi(raw)
+            suffix = {"zarr": ".zarr", "annotationstore": ".db", "qupath": ".json"}.get(
+                output_type.lower(), ""
+            )
+            output_file = f"{Path(str(image)).stem}{suffix}" if suffix else None
+            results[str(image)] = self.save_predictions(
+                processed,
+                output_type,
+                save_dir,
+                output_file=output_file,
+                scale_factor=scale_factor,
+                **kwargs,
+            )
+        return results
+
+    def run(
+        self,
+        images,
+        masks=None,
+        labels=None,
+        ioconfig: ModelIOConfigABC | None = None,
+        *,
+        patch_mode: bool = True,
+        save_dir=None,
+        overwrite: bool = False,
+        output_type: str = "dict",
+        **kwargs,
+    ):
+        """Run inference on patches (patch_mode) or WSIs.
+
+        Args:
+            images: NHWC array / list of patches (patch mode) or list
+                of slide paths (WSI mode).
+            masks: Per-slide masks (WSI mode).
+            labels: Per-patch labels (patch mode, returned when
+                ``return_labels``).
+            ioconfig: Override I/O config.
+            patch_mode: Patch-batch vs whole-slide operation.
+            save_dir: Output directory (required for non-dict outputs).
+            overwrite: Clobber an existing save_dir.
+            output_type: "dict" | "zarr" | "annotationstore".
+            **kwargs: Run-parameter overrides (batch_size, resolution,
+                units, patch_input_shape, stride_shape, ...).
+        """
+        dup_filter = DuplicateFilter()
+        logger.addFilter(dup_filter)
+        try:
+            self._update_run_params(**kwargs)
+            self.output_type = output_type
+            self.images = images
+            self.masks = masks
+            self.labels = labels
+            self.patch_mode = patch_mode
+            save_dir = prepare_engines_save_dir(
+                save_dir, patch_mode=patch_mode, overwrite=overwrite
+            )
+            if not patch_mode:
+                self._update_ioconfig(ioconfig)
+                return self._run_wsi_mode(output_type, save_dir)
+            if self.ioconfig is None and ioconfig is not None:
+                self._ioconfig = ioconfig
+            return self._run_patch_mode(output_type, save_dir)
+        finally:
+            logger.removeFilter(dup_filter)
+
+
+def argmax_probabilities(probabilities: np.ndarray) -> np.ndarray:
+    """Class predictions from probabilities."""
+    return np.argmax(probabilities, axis=-1)

@@ -1,0 +1,133 @@
+"""Model abstraction for the inference engines.
+
+The reference's ``ModelABC`` (``models/models_abc.py:87-264``) is an
+abstract ``torch.nn.Module`` with a static ``infer_batch`` and
+swappable pre/post-processing. The TPU-native equivalent separates the
+pure flax module (architecture) from a ``ModelABC`` wrapper holding
+(module, variables, preproc, postproc) whose ``__call__`` is a jitted
+XLA program. Data parallelism is handled by the engines via
+``jax.sharding`` over the device mesh — not here — so the wrapper stays
+a pure function of its inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ModelABC:
+    """Wrapper pairing a flax module with weights and pre/post hooks.
+
+    Args:
+        module: A flax ``linen.Module``; its ``__call__`` takes an NHWC
+            float array and returns the network output (or dict of
+            outputs for multi-head models).
+        variables: Flax variables dict ({"params": ..., possibly
+            "batch_stats": ...}). May be None until weights are loaded.
+        compute_dtype: dtype tiles are cast to before the forward pass
+            (bfloat16 on TPU for MXU throughput; float32 for parity).
+    """
+
+    def __init__(
+        self,
+        module,
+        variables: dict | None = None,
+        compute_dtype=jnp.float32,
+    ) -> None:
+        self.module = module
+        self.variables = variables
+        self.compute_dtype = compute_dtype
+        self._preproc_func: Callable | None = None
+        self._postproc_func: Callable | None = None
+        self._jitted = None
+
+    # -- weights ---------------------------------------------------------------
+
+    def init(self, rng_key=None, input_shape=(1, 224, 224, 3)) -> None:
+        """Initialize random weights (for tests / untrained use)."""
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        dummy = jnp.zeros(input_shape, self.compute_dtype)
+        self.variables = self.module.init(rng_key, dummy)
+
+    def load_weights(self, variables: dict) -> None:
+        """Attach a flax variables dict (e.g. from the torch converter)."""
+        self.variables = variables
+        self._jitted = None
+
+    # -- forward ----------------------------------------------------------------
+
+    def forward(self, batch: jnp.ndarray):
+        """Un-jitted forward (tracing-friendly)."""
+        return self.module.apply(self.variables, batch)
+
+    def __call__(self, batch):
+        """Jitted forward; compiled once per input shape."""
+        if self.variables is None:
+            msg = "Model has no weights; call init() or load_weights() first."
+            raise RuntimeError(msg)
+        if self._jitted is None:
+            module = self.module
+
+            @jax.jit
+            def _run(variables, x):
+                return module.apply(variables, x)
+
+            self._jitted = _run
+        return self._jitted(self.variables, batch)
+
+    # -- pre/post hooks -----------------------------------------------------------
+
+    @property
+    def preproc_func(self) -> Callable:
+        """Per-patch preprocessing applied by datasets (host side)."""
+        return self._preproc_func if self._preproc_func is not None else (lambda x: x)
+
+    @preproc_func.setter
+    def preproc_func(self, func: Callable | None) -> None:
+        self._preproc_func = func
+
+    @property
+    def postproc_func(self) -> Callable:
+        """Postprocessing applied to raw model outputs (host side)."""
+        return self._postproc_func if self._postproc_func is not None else self.postproc
+
+    @postproc_func.setter
+    def postproc_func(self, func: Callable | None) -> None:
+        self._postproc_func = func
+
+    @staticmethod
+    def preproc(image: np.ndarray) -> np.ndarray:
+        """Default per-patch preprocessing: identity."""
+        return image
+
+    @staticmethod
+    def postproc(output: np.ndarray) -> np.ndarray:
+        """Default output postprocessing: identity."""
+        return output
+
+    @staticmethod
+    def infer_batch(model: "ModelABC", batch_data, device: str | None = None) -> Any:  # noqa: ARG004
+        """Forward a uint8 NHWC batch and return numpy output(s).
+
+        Default: cast to compute dtype, run the jitted program, copy
+        back. Architectures override to add fused head math (softmax,
+        argmax) inside the same device program.
+        """
+        batch = jnp.asarray(batch_data, model.compute_dtype)
+        out = model(batch)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+
+def model_to(model: ModelABC, device: str | None = None) -> ModelABC:  # noqa: ARG001
+    """API-compat shim: JAX manages device placement; returns the model.
+
+    The reference uses this to wrap in DataParallel/DDP
+    (``models_abc.py:47-85``); with pjit/sharding, placement is driven
+    by the engine's mesh, so this is a no-op kept for API parity.
+    """
+    return model

@@ -1,0 +1,118 @@
+"""Double-buffered host loading: dataset items → fixed-shape batches.
+
+The reference feeds the device via torch ``DataLoader(num_workers)``
+(``engine_abc.py:457-480``). Here a thread pool reads patches (decode
+releases the GIL inside OpenCV/zlib) into a bounded queue of
+fixed-shape uint8 batches; the consumer overlaps device compute with
+the next batch's reads. Fixed batch shapes keep one compiled program
+alive for the whole run — the tail batch is padded and a valid count
+returned.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterate a dataset as fixed-size batches with background prefetch.
+
+    Args:
+        dataset: Indexable returning dicts with "image" (+ extras).
+        batch_size: Fixed batch size (tail is padded to this size).
+        num_workers: Reader threads; 0 = synchronous in-loop reads.
+        prefetch: Number of batches buffered ahead (double buffering=2).
+        drop_keys: Item keys to exclude from batch collation.
+
+    Yields:
+        dict with "image" uint8 [B, H, W, C], "n_valid" int, plus any
+        other per-item arrays stacked on axis 0 (padded like images).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        indices: np.ndarray | None = None,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.num_workers = int(num_workers)
+        self.prefetch = max(int(prefetch), 1)
+        self.indices = (
+            np.arange(len(dataset)) if indices is None else np.asarray(indices)
+        )
+
+    def __len__(self) -> int:
+        return -(-len(self.indices) // self.batch_size)
+
+    def _load_batch(self, batch_indices: np.ndarray, pool) -> dict:
+        if pool is not None:
+            items = list(pool.map(self.dataset.__getitem__, batch_indices))
+        else:
+            items = [self.dataset[i] for i in batch_indices]
+        n_valid = len(items)
+        batch: dict = {"n_valid": n_valid, "indices": np.asarray(batch_indices)}
+        for key in items[0]:
+            values = [np.asarray(item[key]) for item in items]
+            stacked = np.stack(values, axis=0)
+            if n_valid < self.batch_size:  # pad tail batch to fixed shape
+                pad = self.batch_size - n_valid
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[-1:], pad, axis=0)], axis=0
+                )
+            batch[key] = stacked
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        n_batches = len(self)
+        batch_indices_list = [
+            self.indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        if self.num_workers <= 0:
+            for batch_indices in batch_indices_list:
+                yield self._load_batch(batch_indices, None)
+            return
+
+        out_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer() -> None:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for batch_indices in batch_indices_list:
+                    if stop.is_set():
+                        return
+                    try:
+                        out_queue.put(self._load_batch(batch_indices, pool))
+                    except Exception as exc:  # propagate to consumer
+                        out_queue.put(exc)
+                        return
+                out_queue.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_queue.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out_queue.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5)
