@@ -1,0 +1,894 @@
+"""Annotation storage: MutableMapping stores with spatial queries.
+
+Reference: ``tiatoolbox/annotation/storage.py`` (Annotation :111-442,
+AnnotationStore ABC :443-2248, SQLiteStore :2310-3964, DictionaryStore
+:3965-4128). Geometry comes from ``annotation.geometry`` (own WKB
+codecs) instead of Shapely; the SQLite backend uses the stdlib sqlite3
+R*Tree with zlib-compressed WKB blobs — same perf-critical design as
+the reference's C SQLite path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import sqlite3
+import threading
+import uuid
+import zlib
+from collections.abc import MutableMapping
+from dataclasses import dataclass, field
+from numbers import Number
+from pathlib import Path
+
+import numpy as np
+
+from tiatoolbox_tpu import logger
+from tiatoolbox_tpu.annotation import dsl
+from tiatoolbox_tpu.annotation.geometry import (
+    Geometry,
+    Point,
+    Polygon,
+    geojson_to_geometry,
+    geometry_contains,
+    geometry_intersects,
+    wkb_to_geometry,
+    wkt_to_geometry,
+)
+
+
+@dataclass
+class Annotation:
+    """A geometry plus JSON-serializable properties."""
+
+    geometry: Geometry
+    properties: dict = field(default_factory=dict)
+
+    @property
+    def coords(self) -> np.ndarray:
+        return self.geometry.coords
+
+    def to_feature(self) -> dict:
+        """GeoJSON feature dict."""
+        return {
+            "type": "Feature",
+            "geometry": self.geometry.to_geojson_dict(),
+            "properties": self.properties,
+        }
+
+    def to_geojson(self) -> str:
+        """GeoJSON feature string."""
+        return json.dumps(self.to_feature())
+
+    def to_wkb(self) -> bytes:
+        return self.geometry.to_wkb()
+
+    def to_wkt(self) -> str:
+        return self.geometry.to_wkt()
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Annotation):
+            return NotImplemented
+        return (
+            self.geometry == other.geometry and self.properties == other.properties
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.geometry.to_wkb(), json.dumps(self.properties, sort_keys=True)))
+
+
+def _to_geometry(geometry) -> Geometry:
+    """Coerce bounds tuples / geojson dicts to a Geometry."""
+    if isinstance(geometry, Geometry):
+        return geometry
+    if isinstance(geometry, dict):
+        return geojson_to_geometry(geometry)
+    arr = np.asarray(geometry, dtype=float).ravel()
+    if arr.size == 4:
+        return Polygon.from_bounds(*arr)
+    if arr.size == 2:
+        return Point(arr[0], arr[1])
+    msg = f"Cannot interpret {geometry!r} as a geometry."
+    raise TypeError(msg)
+
+
+_PREDICATES = {
+    "intersects": geometry_intersects,
+    "contains": lambda a, b: geometry_contains(b, a),  # query geom contains ann
+    "within": lambda a, b: geometry_contains(a, b),  # ann within query geom
+    "bbox_intersects": lambda a, b: a.bbox_intersects(b),
+    "centers_within_k": None,  # handled separately in nquery
+}
+
+
+class AnnotationStore(MutableMapping):
+    """Abstract store: MutableMapping[str, Annotation] + spatial queries."""
+
+    # -- open/dispatch -------------------------------------------------------
+
+    @classmethod
+    def open(cls, fp) -> "AnnotationStore":
+        """Open a store file by sniffing type (.db → SQLite, else dict/json)."""
+        from tiatoolbox_tpu.utils import magic
+
+        path = Path(fp)
+        if magic.is_sqlite3(path) or path.suffix == ".db":
+            return SQLiteStore(path)
+        return DictionaryStore.from_geojson(path)
+
+    # -- bulk operations --------------------------------------------------------
+
+    def append(self, annotation: Annotation, key: str | None = None) -> str:
+        """Insert one annotation; returns its key."""
+        (result,) = self.append_many([annotation], [key] if key else None)
+        return result
+
+    def append_many(self, annotations, keys=None) -> list[str]:
+        """Insert many annotations; returns the keys used."""
+        annotations = list(annotations)
+        if keys is None:
+            keys = [str(uuid.uuid4()) for _ in annotations]
+        keys = list(keys)
+        if len(keys) != len(annotations):
+            msg = "Number of keys must match number of annotations."
+            raise ValueError(msg)
+        for key, ann in zip(keys, annotations):
+            self[key] = ann
+        return keys
+
+    def patch(self, key: str, geometry=None, properties=None) -> None:
+        """Update geometry and/or merge properties for one key."""
+        self.patch_many([key], [geometry], [properties])
+
+    def patch_many(self, keys, geometries=None, properties_iter=None) -> None:
+        keys = list(keys)
+        geometries = list(geometries) if geometries is not None else [None] * len(keys)
+        properties_iter = (
+            list(properties_iter) if properties_iter is not None else [None] * len(keys)
+        )
+        for key, geom, props in zip(keys, geometries, properties_iter):
+            if key in self:
+                existing = self[key]
+                new_geom = _to_geometry(geom) if geom is not None else existing.geometry
+                new_props = dict(existing.properties)
+                if props:
+                    new_props.update(props)
+                self[key] = Annotation(new_geom, new_props)
+            else:
+                self[key] = Annotation(
+                    _to_geometry(geom), dict(props) if props else {}
+                )
+
+    def remove(self, key: str) -> None:
+        del self[key]
+
+    def remove_many(self, keys) -> None:
+        for key in keys:
+            del self[key]
+
+    def setdefault(self, key: str, default: Annotation | None = None) -> Annotation:
+        if not isinstance(default, Annotation):
+            msg = "default value must be an Annotation instance."
+            raise TypeError(msg)
+        return super().setdefault(key, default)
+
+    def __contains__(self, key: object) -> bool:
+        try:
+            self[key]
+        except KeyError:
+            return False
+        return True
+
+    # -- predicate machinery -------------------------------------------------------
+
+    @staticmethod
+    def _eval_where(where, properties: dict) -> bool:
+        """Evaluate a where predicate (None / str DSL / callable)."""
+        if where is None:
+            return True
+        if callable(where):
+            return bool(where(properties))
+        if isinstance(where, str):
+            return bool(
+                eval(  # noqa: S307 - documented DSL behaviour
+                    where, dsl.PY_GLOBALS, {"props": properties}
+                )
+            )
+        msg = f"Invalid where predicate type: {type(where)}"
+        raise TypeError(msg)
+
+    @staticmethod
+    def _geometry_predicate(name: str):
+        if name not in _PREDICATES or _PREDICATES[name] is None:
+            msg = f"Invalid geometry predicate: {name}"
+            raise ValueError(msg)
+        return _PREDICATES[name]
+
+    # -- queries (generic implementations; backends may override) --------------------
+
+    def query(
+        self,
+        geometry=None,
+        where=None,
+        geometry_predicate: str = "intersects",
+        min_area: float | None = None,
+        distance: float = 0,
+    ) -> dict[str, Annotation]:
+        """Annotations intersecting a geometry/bounds and matching where."""
+        if geometry is None and where is None:
+            msg = "At least one of geometry or where must be provided."
+            raise ValueError(msg)
+        query_geom = _to_geometry(geometry) if geometry is not None else None
+        if query_geom is not None and distance > 0:
+            query_geom = query_geom.buffer(distance)
+        predicate = self._geometry_predicate(geometry_predicate)
+        result = {}
+        for key, ann in self.items():
+            if min_area is not None and ann.geometry.area < min_area:
+                continue
+            if query_geom is not None:
+                if not ann.geometry.bbox_intersects(query_geom):
+                    continue
+                if not predicate(ann.geometry, query_geom):
+                    continue
+            if not self._eval_where(where, ann.properties):
+                continue
+            result[key] = ann
+        return result
+
+    def iquery(
+        self,
+        geometry=None,
+        where=None,
+        geometry_predicate: str = "intersects",
+        distance: float = 0,
+    ) -> list[str]:
+        """Keys of matching annotations."""
+        return list(
+            self.query(
+                geometry, where, geometry_predicate, distance=distance
+            ).keys()
+        )
+
+    def bquery(self, geometry=None, where=None) -> dict[str, tuple]:
+        """Bounding boxes of matching annotations (bbox-only filter)."""
+        query_geom = _to_geometry(geometry) if geometry is not None else None
+        result = {}
+        for key, ann in self.items():
+            if query_geom is not None and not ann.geometry.bbox_intersects(query_geom):
+                continue
+            if not self._eval_where(where, ann.properties):
+                continue
+            result[key] = tuple(ann.geometry.bounds)
+        return result
+
+    def pquery(
+        self,
+        select,
+        geometry=None,
+        where=None,
+        *,
+        unique: bool = True,
+        squeeze: bool = True,
+    ):
+        """Query selected property values.
+
+        Args:
+            select: "*" for full properties, a DSL string, or callable.
+            unique: Return set(s) of unique values instead of per-key.
+            squeeze: With unique and a single select, return the set
+                directly.
+        """
+        if select != "*" and not isinstance(select, str) and not callable(select):
+            msg = "select must be '*', a DSL string, or a callable."
+            raise TypeError(msg)
+        if select == "*" and unique:
+            msg = "unique=True cannot be used with select='*'."
+            raise ValueError(msg)
+
+        def get_value(properties: dict):
+            if select == "*":
+                return properties
+            if callable(select):
+                return select(properties)
+            return eval(  # noqa: S307
+                select, dsl.PY_GLOBALS, {"props": properties}
+            )
+
+        matches = self.query(geometry, where) if geometry is not None or where else dict(self.items())
+        if unique:
+            values = set()
+            for ann in matches.values():
+                with contextlib.suppress(KeyError):
+                    values.add(get_value(ann.properties))
+            return values if squeeze else [values]
+        return {key: get_value(ann.properties) for key, ann in matches.items()}
+
+    def nquery(
+        self,
+        geometry=None,
+        where=None,
+        n_where=None,
+        distance: float = 5.0,
+        geometry_predicate: str = "centers_within_k",
+        mode: str = "poly-poly",  # noqa: ARG002 - API parity
+    ) -> dict[str, dict[str, Annotation]]:
+        """Proximity query: neighbours within ``distance`` of matches."""
+        centers = {
+            key: ann
+            for key, ann in self.query(
+                geometry or (-1e300, -1e300, 1e300, 1e300), where, "bbox_intersects"
+            ).items()
+        }
+        result: dict[str, dict[str, Annotation]] = {}
+        all_items = list(self.items())
+        for key, ann in centers.items():
+            c = ann.geometry.centroid
+            neighbours = {}
+            for nkey, nann in all_items:
+                if nkey == key:
+                    continue
+                if not self._eval_where(n_where, nann.properties):
+                    continue
+                if geometry_predicate == "centers_within_k":
+                    nc = nann.geometry.centroid
+                    if np.hypot(nc.x - c.x, nc.y - c.y) <= distance:
+                        neighbours[nkey] = nann
+                elif ann.geometry.distance(nann.geometry) <= distance:
+                    neighbours[nkey] = nann
+            if neighbours:
+                result[key] = neighbours
+        return result
+
+    # -- I/O ------------------------------------------------------------------------
+
+    def to_geojson(self, fp=None) -> str | None:
+        """Serialize as a GeoJSON FeatureCollection."""
+        collection = {
+            "type": "FeatureCollection",
+            "features": [ann.to_feature() for ann in self.values()],
+        }
+        text = json.dumps(collection)
+        if fp is None:
+            return text
+        if hasattr(fp, "write"):
+            fp.write(text)
+            return None
+        Path(fp).write_text(text)
+        return None
+
+    @classmethod
+    def from_geojson(cls, fp, scale_factor=(1, 1), origin=(0, 0)) -> "AnnotationStore":
+        """Load a store from GeoJSON (file path, file object, or string)."""
+        store = cls()
+        store.add_from_geojson(fp, scale_factor, origin)
+        return store
+
+    def add_from_geojson(self, fp, scale_factor=(1, 1), origin=(0, 0)) -> None:
+        if hasattr(fp, "read"):
+            data = json.load(fp)
+        elif isinstance(fp, str) and fp.lstrip().startswith("{"):
+            data = json.loads(fp)
+        else:
+            data = json.loads(Path(fp).read_text())
+        features = data["features"] if data.get("type") == "FeatureCollection" else data
+        anns = []
+        for feature in features:
+            geom = geojson_to_geometry(feature["geometry"])
+            geom = _transform_geometry(
+                geom,
+                lambda c: (np.asarray(c) - np.asarray(origin)) * np.asarray(scale_factor)
+                + np.asarray(origin),
+            )
+            anns.append(Annotation(geom, feature.get("properties") or {}))
+        self.append_many(anns)
+
+    def to_ndjson(self, fp=None) -> str | None:
+        """One GeoJSON feature (with key) per line."""
+        lines = []
+        for key, ann in self.items():
+            feature = ann.to_feature()
+            feature["key"] = key
+            lines.append(json.dumps(feature))
+        text = "\n".join(lines) + ("\n" if lines else "")
+        if fp is None:
+            return text
+        if hasattr(fp, "write"):
+            fp.write(text)
+            return None
+        Path(fp).write_text(text)
+        return None
+
+    @classmethod
+    def from_ndjson(cls, fp) -> "AnnotationStore":
+        store = cls()
+        if hasattr(fp, "read"):
+            text = fp.read()
+        elif isinstance(fp, str) and "\n" in fp:
+            text = fp
+        else:
+            text = Path(fp).read_text()
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            feature = json.loads(line)
+            store[feature.get("key", str(uuid.uuid4()))] = Annotation(
+                geojson_to_geometry(feature["geometry"]),
+                feature.get("properties") or {},
+            )
+        return store
+
+    def to_dataframe(self):
+        """Annotations as a pandas DataFrame (geometry WKT + properties)."""
+        import pandas as pd
+
+        rows = []
+        for key, ann in self.items():
+            row = {"key": key, "geometry": ann.geometry.to_wkt()}
+            row.update({f"properties.{k}": v for k, v in ann.properties.items()})
+            rows.append(row)
+        return pd.DataFrame(rows).set_index("key") if rows else pd.DataFrame()
+
+    def transform(self, transform) -> None:
+        """Apply a coordinate transform fn([N,2])→[N,2] to all geometries."""
+        for key, ann in list(self.items()):
+            new_geom = _transform_geometry(ann.geometry, transform)
+            self[key] = Annotation(new_geom, ann.properties)
+
+    def translate_db(self, x: float, y: float) -> None:
+        """Translate all geometries by (x, y)."""
+        self.transform(lambda coords: np.asarray(coords) + np.array([x, y]))
+
+    # -- misc ------------------------------------------------------------------------
+
+    def commit(self) -> None:
+        """Flush any pending writes (no-op for in-memory)."""
+
+    def close(self) -> None:
+        """Release resources."""
+
+    def __del__(self) -> None:
+        with contextlib.suppress(Exception):
+            self.close()
+
+
+def _transform_geometry(geom: Geometry, transform) -> Geometry:
+    from tiatoolbox_tpu.annotation import geometry as G
+
+    if isinstance(geom, Point):
+        out = np.asarray(transform(np.array([[geom.x, geom.y]])))
+        return Point(out[0])
+    if isinstance(geom, G.LineString):
+        return G.LineString(transform(geom.coords_array))
+    if isinstance(geom, Polygon):
+        return Polygon(
+            transform(geom.shell), [transform(h) for h in geom.holes]
+        )
+    if isinstance(geom, G._Multi):  # noqa: SLF001
+        return type(geom)([_transform_geometry(g, transform) for g in geom.geoms])
+    msg = f"Cannot transform geometry type {type(geom)}"
+    raise TypeError(msg)
+
+
+class DictionaryStore(AnnotationStore):
+    """In-memory dict-backed store (reference ``storage.py:3965-4128``)."""
+
+    def __init__(self, connection=":memory:") -> None:
+        super().__init__()
+        self._rows: dict[str, Annotation] = {}
+        self.connection = connection
+        self.path = None if connection == ":memory:" else Path(connection)
+        if self.path and self.path.exists() and self.path.stat().st_size > 0:
+            self.add_from_geojson(self.path)
+
+    def __getitem__(self, key: str) -> Annotation:
+        return self._rows[key]
+
+    def __setitem__(self, key: str, annotation: Annotation) -> None:
+        if not isinstance(annotation, Annotation):
+            msg = "Value must be an Annotation instance."
+            raise TypeError(msg)
+        self._rows[key] = annotation
+
+    def __delitem__(self, key: str) -> None:
+        del self._rows[key]
+
+    def __iter__(self):
+        return iter(self._rows)
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def commit(self) -> None:
+        if self.path is not None:
+            self.to_geojson(self.path)
+
+    def dump(self, fp) -> None:
+        self.to_geojson(fp)
+
+    def dumps(self) -> str:
+        return self.to_geojson()
+
+
+class SQLiteStore(AnnotationStore):
+    """SQLite-backed store with an R*Tree spatial index.
+
+    Schema (mirrors reference ``storage.py:2310-2644``): an
+    ``annotations`` table (key, geometry as zlib-WKB blob, centroid,
+    area, properties JSON) plus an ``rtree`` virtual table over the
+    bounding boxes, joined by rowid. Python helper functions (REGEXP,
+    LISTSUM, CONTAINS) are registered per connection so DSL-compiled
+    WHERE clauses run inside SQLite.
+    """
+
+    @classmethod
+    def compile_options(cls) -> list[str]:
+        con = sqlite3.connect(":memory:")
+        opts = [row[0] for row in con.execute("PRAGMA compile_options").fetchall()]
+        con.close()
+        return opts
+
+    def __init__(self, connection=":memory:", auto_commit: bool = True) -> None:
+        super().__init__()
+        self.connection = connection
+        self.path = None if str(connection) == ":memory:" else Path(connection)
+        self.auto_commit = auto_commit
+        self._local = threading.local()
+        self.metadata = _SQLiteMetadata(self)
+        con = self.con
+        con.executescript(
+            """
+            CREATE TABLE IF NOT EXISTS annotations (
+                id INTEGER PRIMARY KEY,
+                key TEXT UNIQUE NOT NULL,
+                objtype TEXT,
+                cx REAL,
+                cy REAL,
+                area REAL,
+                geometry BLOB,
+                properties TEXT
+            );
+            CREATE VIRTUAL TABLE IF NOT EXISTS rtree USING rtree(
+                id, min_x, max_x, min_y, max_y
+            );
+            CREATE TABLE IF NOT EXISTS metadata (
+                key TEXT PRIMARY KEY, value TEXT
+            );
+            CREATE INDEX IF NOT EXISTS annotation_key ON annotations(key);
+            """
+        )
+        con.commit()
+
+    # -- connections ----------------------------------------------------------------
+
+    @property
+    def con(self) -> sqlite3.Connection:
+        """Per-thread connection (reference ``storage.py:2436``)."""
+        con = getattr(self._local, "con", None)
+        if con is None:
+            target = str(self.connection)
+            if self.path is not None:
+                con = sqlite3.connect(str(self.path), timeout=30)
+            elif target == ":memory:":
+                # unique named in-memory db, shareable across this
+                # store's threads but isolated from other stores
+                con = sqlite3.connect(
+                    f"file:memdb_{id(self)}?mode=memory&cache=shared",
+                    uri=True,
+                    check_same_thread=False,
+                )
+                # keep one anchor connection alive so the db persists
+                if not hasattr(self, "_memory_anchor"):
+                    self._memory_anchor = con
+            else:
+                con = sqlite3.connect(target, timeout=30)
+            self._register_functions(con)
+            self._local.con = con
+        return con
+
+    @staticmethod
+    def _register_functions(con: sqlite3.Connection) -> None:
+        con.create_function("REGEXP", 2, lambda p, s: dsl.py_regexp(p, str(s)) is not None)
+        con.create_function(
+            "REGEXP", 3, lambda p, s, f: dsl.py_regexp(p, str(s), int(f)) is not None
+        )
+        con.create_function("LISTSUM", 1, dsl.json_list_sum)
+        con.create_function("CONTAINS", 2, dsl.json_contains)
+        con.create_function(
+            "GET_AREA", 1, lambda blob: wkb_to_geometry(zlib.decompress(blob)).area
+        )
+
+    # -- serialization -----------------------------------------------------------------
+
+    @staticmethod
+    def _pack_geometry(geometry: Geometry) -> bytes:
+        return zlib.compress(geometry.to_wkb())
+
+    @staticmethod
+    def _unpack_geometry(blob: bytes) -> Geometry:
+        return wkb_to_geometry(zlib.decompress(blob))
+
+    # -- mapping interface -----------------------------------------------------------
+
+    def __setitem__(self, key: str, annotation: Annotation) -> None:
+        if not isinstance(annotation, Annotation):
+            msg = "Value must be an Annotation instance."
+            raise TypeError(msg)
+        geom = annotation.geometry
+        bounds = geom.bounds
+        centroid = geom.centroid
+        con = self.con
+        with con:
+            cur = con.execute("SELECT id FROM annotations WHERE key = ?", (key,))
+            row = cur.fetchone()
+            if row is not None:
+                row_id = row[0]
+                con.execute(
+                    "UPDATE annotations SET objtype=?, cx=?, cy=?, area=?, "
+                    "geometry=?, properties=? WHERE id=?",
+                    (
+                        geom.geom_type,
+                        centroid.x,
+                        centroid.y,
+                        geom.area,
+                        self._pack_geometry(geom),
+                        json.dumps(annotation.properties),
+                        row_id,
+                    ),
+                )
+                con.execute(
+                    "UPDATE rtree SET min_x=?, max_x=?, min_y=?, max_y=? WHERE id=?",
+                    (bounds[0], bounds[2], bounds[1], bounds[3], row_id),
+                )
+            else:
+                cur = con.execute(
+                    "INSERT INTO annotations "
+                    "(key, objtype, cx, cy, area, geometry, properties) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?)",
+                    (
+                        key,
+                        geom.geom_type,
+                        centroid.x,
+                        centroid.y,
+                        geom.area,
+                        self._pack_geometry(geom),
+                        json.dumps(annotation.properties),
+                    ),
+                )
+                con.execute(
+                    "INSERT INTO rtree (id, min_x, max_x, min_y, max_y) "
+                    "VALUES (?, ?, ?, ?, ?)",
+                    (cur.lastrowid, bounds[0], bounds[2], bounds[1], bounds[3]),
+                )
+
+    def __getitem__(self, key: str) -> Annotation:
+        cur = self.con.execute(
+            "SELECT geometry, properties FROM annotations WHERE key = ?", (key,)
+        )
+        row = cur.fetchone()
+        if row is None:
+            raise KeyError(key)
+        return Annotation(self._unpack_geometry(row[0]), json.loads(row[1]))
+
+    def __delitem__(self, key: str) -> None:
+        con = self.con
+        with con:
+            cur = con.execute("SELECT id FROM annotations WHERE key = ?", (key,))
+            row = cur.fetchone()
+            if row is None:
+                raise KeyError(key)
+            con.execute("DELETE FROM annotations WHERE id = ?", (row[0],))
+            con.execute("DELETE FROM rtree WHERE id = ?", (row[0],))
+
+    def __iter__(self):
+        cur = self.con.execute("SELECT key FROM annotations ORDER BY id")
+        for (key,) in cur:
+            yield key
+
+    def __len__(self) -> int:
+        return self.con.execute("SELECT COUNT(*) FROM annotations").fetchone()[0]
+
+    # -- optimised bulk + queries ---------------------------------------------------------
+
+    def append_many(self, annotations, keys=None) -> list[str]:
+        annotations = list(annotations)
+        if keys is None:
+            keys = [str(uuid.uuid4()) for _ in annotations]
+        keys = list(keys)
+        con = self.con
+        with con:
+            for key, ann in zip(keys, annotations):
+                geom = ann.geometry
+                bounds = geom.bounds
+                centroid = geom.centroid
+                cur = con.execute(
+                    "INSERT INTO annotations "
+                    "(key, objtype, cx, cy, area, geometry, properties) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?)",
+                    (
+                        key,
+                        geom.geom_type,
+                        centroid.x,
+                        centroid.y,
+                        geom.area,
+                        self._pack_geometry(geom),
+                        json.dumps(ann.properties),
+                    ),
+                )
+                con.execute(
+                    "INSERT INTO rtree (id, min_x, max_x, min_y, max_y) "
+                    "VALUES (?, ?, ?, ?, ?)",
+                    (cur.lastrowid, bounds[0], bounds[2], bounds[1], bounds[3]),
+                )
+        return keys
+
+    def _compile_where(self, where) -> tuple[str, bool]:
+        """Compile a where predicate to SQL; returns (clause, post_filter)."""
+        if where is None:
+            return "", False
+        if callable(where):
+            return "", True
+        try:
+            fragment = eval(  # noqa: S307
+                where, dict(dsl.SQL_GLOBALS), {}
+            )
+            return f"AND {fragment}", False
+        except Exception:  # fall back to python filtering
+            logger.warning("Could not compile where to SQL; filtering in Python.")
+            return "", True
+
+    def _candidates(self, geometry, where):
+        """Rows whose bbox intersects the query geometry, SQL-filtered."""
+        sql = (
+            "SELECT annotations.key, annotations.geometry, annotations.properties "
+            "FROM annotations, rtree WHERE annotations.id = rtree.id "
+        )
+        params: list = []
+        if geometry is not None:
+            query_geom = _to_geometry(geometry)
+            x0, y0, x1, y1 = query_geom.bounds
+            sql += "AND rtree.max_x >= ? AND rtree.min_x <= ? AND rtree.max_y >= ? AND rtree.min_y <= ? "
+            params += [x0, x1, y0, y1]
+        clause, post_filter = ("", True) if callable(where) else self._compile_where(where)
+        if clause:
+            sql += clause
+        cur = self.con.execute(sql, params)
+        for key, blob, props_json in cur:
+            props = json.loads(props_json)
+            if post_filter and not self._eval_where(where, props):
+                continue
+            yield key, blob, props
+
+    def query(
+        self,
+        geometry=None,
+        where=None,
+        geometry_predicate: str = "intersects",
+        min_area: float | None = None,
+        distance: float = 0,
+    ) -> dict[str, Annotation]:
+        if geometry is None and where is None:
+            msg = "At least one of geometry or where must be provided."
+            raise ValueError(msg)
+        query_geom = _to_geometry(geometry) if geometry is not None else None
+        if query_geom is not None and distance > 0:
+            query_geom = query_geom.buffer(distance)
+        predicate = self._geometry_predicate(geometry_predicate)
+        result = {}
+        for key, blob, props in self._candidates(
+            query_geom.bounds if query_geom else None, where
+        ):
+            geom = self._unpack_geometry(blob)
+            if min_area is not None and geom.area < min_area:
+                continue
+            if query_geom is not None and not predicate(geom, query_geom):
+                continue
+            result[key] = Annotation(geom, props)
+        return result
+
+    def bquery(self, geometry=None, where=None) -> dict[str, tuple]:
+        sql = (
+            "SELECT annotations.key, rtree.min_x, rtree.min_y, rtree.max_x, "
+            "rtree.max_y, annotations.properties "
+            "FROM annotations, rtree WHERE annotations.id = rtree.id "
+        )
+        params: list = []
+        if geometry is not None:
+            query_geom = _to_geometry(geometry)
+            x0, y0, x1, y1 = query_geom.bounds
+            sql += "AND rtree.max_x >= ? AND rtree.min_x <= ? AND rtree.max_y >= ? AND rtree.min_y <= ? "
+            params += [x0, x1, y0, y1]
+        clause, post_filter = ("", True) if callable(where) else self._compile_where(where)
+        if clause:
+            sql += clause
+        result = {}
+        for key, min_x, min_y, max_x, max_y, props_json in self.con.execute(sql, params):
+            if post_filter and not self._eval_where(where, json.loads(props_json)):
+                continue
+            result[key] = (min_x, min_y, max_x, max_y)
+        return result
+
+    # -- persistence ----------------------------------------------------------------------
+
+    def commit(self) -> None:
+        self.con.commit()
+
+    def close(self) -> None:
+        con = getattr(self._local, "con", None)
+        if con is not None:
+            with contextlib.suppress(sqlite3.ProgrammingError):
+                con.commit()
+                con.close()
+            self._local.con = None
+
+    def dump(self, fp) -> None:
+        """Write the database to a file path or file object."""
+        if hasattr(fp, "write"):
+            fp.write(self.dumps().encode() if "b" in getattr(fp, "mode", "b") else self.dumps())
+            return
+        target = sqlite3.connect(str(fp))
+        with target:
+            self.con.backup(target)
+        target.close()
+
+    def dumps(self) -> str:
+        return "\n".join(self.con.iterdump())
+
+    def create_index(self, name: str, where: str) -> None:
+        """Create a partial/expression index from a DSL predicate."""
+        fragment = eval(where, dict(dsl.SQL_GLOBALS), {})  # noqa: S307
+        self.con.execute(
+            f"CREATE INDEX IF NOT EXISTS {name} ON annotations({fragment})"
+        )
+        self.con.commit()
+
+    def indexes(self) -> list[str]:
+        return [
+            row[0]
+            for row in self.con.execute(
+                "SELECT name FROM sqlite_master WHERE type = 'index'"
+            )
+        ]
+
+    def optimize(self, *, vacuum: bool = True) -> None:
+        if vacuum:
+            self.con.execute("VACUUM")
+        self.con.execute("PRAGMA optimize")
+
+
+class _SQLiteMetadata(MutableMapping):
+    """Metadata key/value table on an SQLiteStore."""
+
+    def __init__(self, store: SQLiteStore) -> None:
+        self._store = store
+
+    def __getitem__(self, key: str):
+        row = self._store.con.execute(
+            "SELECT value FROM metadata WHERE key = ?", (key,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(key)
+        return json.loads(row[0])
+
+    def __setitem__(self, key: str, value) -> None:
+        con = self._store.con
+        with con:
+            con.execute(
+                "INSERT OR REPLACE INTO metadata (key, value) VALUES (?, ?)",
+                (key, json.dumps(value)),
+            )
+
+    def __delitem__(self, key: str) -> None:
+        con = self._store.con
+        with con:
+            cur = con.execute("DELETE FROM metadata WHERE key = ?", (key,))
+            if cur.rowcount == 0:
+                raise KeyError(key)
+
+    def __iter__(self):
+        for (key,) in self._store.con.execute("SELECT key FROM metadata"):
+            yield key
+
+    def __len__(self) -> int:
+        return self._store.con.execute("SELECT COUNT(*) FROM metadata").fetchone()[0]
