@@ -1,0 +1,478 @@
+"""Flax HoVerNet (reference ``models/architecture/hovernet.py:264-932``).
+
+Preact-ResNet encoder (valid 1x1 / SAME 3x3 convs), per-branch decoders
+with valid-conv dense blocks, modes "original" (270→80) and "fast"
+(256→164). The forward + head math (softmax np, argmax tp) is one
+fused device program; the watershed instance post-processing
+(`_proc_np_hv`) is host-side cv2/scipy, numerically matched to the
+reference.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import cv2
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from tiatoolbox_tpu.models.architecture.utils import (
+    centre_crop,
+    centre_crop_to_shape,
+    upsample2x,
+)
+from tiatoolbox_tpu.models.models_abc import ModelABC
+from tiatoolbox_tpu.utils.misc import get_bounding_box
+
+
+class _BN(nn.Module):
+    """Inference batch norm with eps=1e-5 (HoVerNet convention)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(features)).value
+        var = self.variable("batch_stats", "var", lambda: jnp.ones(features)).value
+        mul = scale / jnp.sqrt(var + self.epsilon)
+        add = bias - mean * mul
+        return x * jnp.asarray(mul, x.dtype) + jnp.asarray(add, x.dtype)
+
+
+def _conv(features, ksize, stride=1, padding="VALID", groups=1, bias=False, name=None):
+    return nn.Conv(
+        features,
+        (ksize, ksize),
+        strides=(stride, stride),
+        padding=padding,
+        use_bias=bias,
+        feature_group_count=groups,
+        name=name,
+    )
+
+
+class ResidualBlock(nn.Module):
+    """Pre-activation residual stage (1x1 valid, 3x3 SAME, 1x1 valid)."""
+
+    unit_chs: tuple  # (mid, mid, out)
+    unit_count: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        out_ch = self.unit_chs[-1]
+        if in_ch != out_ch or self.stride != 1:
+            shortcut = _conv(out_ch, 1, self.stride, name="shortcut")(x)
+        else:
+            shortcut = x
+        prev = x
+        for idx in range(self.unit_count):
+            h = prev
+            if idx != 0:
+                h = _BN(name=f"u{idx}_preact_bn")(h)
+                h = nn.relu(h)
+            h = _conv(self.unit_chs[0], 1, name=f"u{idx}_conv1")(h)
+            h = _BN(name=f"u{idx}_bn1")(h)
+            h = nn.relu(h)
+            stride = self.stride if idx == 0 else 1
+            h = _conv(self.unit_chs[1], 3, stride, padding="SAME", name=f"u{idx}_conv2")(h)
+            h = _BN(name=f"u{idx}_bn2")(h)
+            h = nn.relu(h)
+            h = _conv(self.unit_chs[2], 1, name=f"u{idx}_conv3")(h)
+            prev = h + shortcut
+            shortcut = prev
+        out = _BN(name="blk_bn")(prev)
+        return nn.relu(out)
+
+
+class DenseBlock(nn.Module):
+    """Valid-padding dense block; spatial shrinks by (ksize-1) per unit."""
+
+    unit_ksizes: tuple  # (1, k)
+    unit_chs: tuple  # (mid, growth)
+    unit_count: int
+    split: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        prev = x
+        for idx in range(self.unit_count):
+            h = _BN(name=f"u{idx}_preact_bn")(prev)
+            h = nn.relu(h)
+            h = _conv(self.unit_chs[0], self.unit_ksizes[0], name=f"u{idx}_conv1")(h)
+            h = _BN(name=f"u{idx}_bn1")(h)
+            h = nn.relu(h)
+            h = _conv(
+                self.unit_chs[1],
+                self.unit_ksizes[1],
+                groups=self.split,
+                name=f"u{idx}_conv2",
+            )(h)
+            prev = jnp.concatenate([centre_crop_to_shape(prev, h), h], axis=-1)
+        out = _BN(name="blk_bn")(prev)
+        return nn.relu(out)
+
+
+class _DecoderBranch(nn.Module):
+    """One decoder head: u3 → u2 → u1 → u0 stages."""
+
+    ksize: int = 5
+    out_ch: int = 2
+
+    def setup(self) -> None:
+        k = self.ksize
+        self.u3_conva = _conv(256, k, name="u3_conva")
+        self.u3_dense = DenseBlock((1, k), (128, 32), 8, name="u3_dense")
+        self.u3_convf = _conv(512, 1, name="u3_convf")
+        self.u2_conva = _conv(128, k, name="u2_conva")
+        self.u2_dense = DenseBlock((1, k), (128, 32), 4, name="u2_dense")
+        self.u2_convf = _conv(256, 1, name="u2_convf")
+        self.u1_conva = nn.Conv(
+            64, (k, k), padding="SAME", use_bias=False, name="u1_conva"
+        )
+        self.u0_bn = _BN(name="u0_bn")
+        self.u0_conv = nn.Conv(self.out_ch, (1, 1), use_bias=True, name="u0_conv")
+
+    def __call__(self, d: list[jnp.ndarray]) -> jnp.ndarray:
+        u3 = upsample2x(d[-1]) + d[-2]
+        u3 = self.u3_convf(self.u3_dense(self.u3_conva(u3)))
+        u2 = upsample2x(u3) + d[-3]
+        u2 = self.u2_convf(self.u2_dense(self.u2_conva(u2)))
+        u1 = upsample2x(u2) + d[-4]
+        u1 = self.u1_conva(u1)
+        u0 = self.u0_conv(nn.relu(self.u0_bn(u1)))
+        return u0
+
+
+class _HoVerNetNet(nn.Module):
+    """Full HoVerNet graph returning {branch: NHWC logits}."""
+
+    num_input_channels: int = 3
+    num_types: int | None = None
+    mode: str = "original"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> dict:
+        x = x / 255.0
+        pad = "SAME" if self.mode == "fast" else "VALID"
+        x = _conv(64, 7, padding=pad, name="conv0")(x)
+        x = _BN(name="bn0")(x)
+        x = nn.relu(x)
+        d0 = ResidualBlock((64, 64, 256), 3, stride=1, name="d0")(x)
+        d1 = ResidualBlock((128, 128, 512), 4, stride=2, name="d1")(d0)
+        d2 = ResidualBlock((256, 256, 1024), 6, stride=2, name="d2")(d1)
+        d3 = ResidualBlock((512, 512, 2048), 3, stride=2, name="d3")(d2)
+        d3 = _conv(1024, 1, name="conv_bot")(d3)
+
+        if self.mode == "original":
+            d0 = centre_crop(d0, (184, 184))
+            d1 = centre_crop(d1, (72, 72))
+        else:
+            d0 = centre_crop(d0, (92, 92))
+            d1 = centre_crop(d1, (36, 36))
+        d = [d0, d1, d2, d3]
+
+        ksize = 5 if self.mode == "original" else 3
+        out = {}
+        branches = ["np", "hv"] if self.num_types is None else ["tp", "np", "hv"]
+        for name in branches:
+            out_ch = self.num_types if name == "tp" else 2
+            out[name] = _DecoderBranch(ksize=ksize, out_ch=out_ch, name=name)(d)
+        return out
+
+
+class HoVerNet(ModelABC):
+    """Nucleus instance segmentation (+ optional typing) model.
+
+    Args:
+        num_input_channels: Input channels (3 for RGB).
+        num_types: Number of nucleus types (enables the tp branch).
+        mode: "original" (270→80) or "fast" (256→164).
+        nuc_type_dict: Optional id→name mapping for types.
+    """
+
+    def __init__(
+        self,
+        num_input_channels: int = 3,
+        num_types: int | None = None,
+        mode: str = "original",
+        nuc_type_dict: dict | None = None,
+        **kwargs,
+    ) -> None:
+        if mode not in ("original", "fast"):
+            msg = (
+                f"Invalid mode {mode} for HoVerNet. "
+                f"Only support `original` or `fast`."
+            )
+            raise ValueError(msg)
+        module = _HoVerNetNet(
+            num_input_channels=num_input_channels,
+            num_types=num_types,
+            mode=mode,
+        )
+        super().__init__(module, **kwargs)
+        self.mode = mode
+        self.num_types = num_types
+        self.nuc_type_dict = nuc_type_dict
+        self.tasks = ["nuclei_segmentation"]
+        self.class_dict = {self.tasks[0]: nuc_type_dict}
+        self._jitted_infer = None
+
+    def init(self, rng_key=None, input_shape=None) -> None:
+        if input_shape is None:
+            size = 270 if self.mode == "original" else 256
+            input_shape = (1, size, size, 3)
+        super().init(rng_key, input_shape)
+
+    # -- inference -----------------------------------------------------------------
+
+    @staticmethod
+    def infer_batch(model: "HoVerNet", batch_data, device: str | None = None):  # noqa: ARG004
+        """uint8 NHWC batch → (np, hv[, tp]) numpy maps.
+
+        Head math (softmax np → foreground prob; tp argmax) runs inside
+        the jitted program (reference ``hovernet.py:862-931``).
+        """
+        batch = jnp.asarray(batch_data).astype(model.compute_dtype)
+        if model._jitted_infer is None:
+            module = model.module
+
+            @jax.jit
+            def _run(variables, x):
+                pred = module.apply(variables, x)
+                out = {}
+                np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
+                out["np"] = np_probs[..., 1:]
+                out["hv"] = pred["hv"].astype(jnp.float32)
+                if "tp" in pred:
+                    tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
+                    out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(
+                        jnp.float32
+                    )
+                return out
+
+            model._jitted_infer = _run
+        out = model._jitted_infer(model.variables, batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if "tp" in out:
+            return out["np"], out["hv"], out["tp"]
+        return out["np"], out["hv"]
+
+    # -- post-processing -------------------------------------------------------------
+
+    @staticmethod
+    def _proc_np_hv(
+        np_map: np.ndarray,
+        hv_map: np.ndarray,
+        scale_factor: float = 1,
+    ) -> np.ndarray:
+        """NP+HV maps → labelled instance map via Sobel-energy watershed.
+
+        Numerically matched to reference ``hovernet.py:503-617``.
+        """
+        blb_raw = np_map[..., 0]
+        h_dir_raw = hv_map[..., 0]
+        v_dir_raw = hv_map[..., 1]
+
+        blb = np.array(blb_raw >= 0.5, dtype=np.int32)
+        blb = ndimage.label(blb)[0]
+        blb = _remove_small_objects(blb, min_size=10)
+        blb[blb > 0] = 1
+
+        h_dir = cv2.normalize(
+            h_dir_raw, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+        )
+        v_dir = cv2.normalize(
+            v_dir_raw, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+        )
+
+        ksize = int((20 * scale_factor) + 1)
+        obj_size = math.ceil(10 * (scale_factor**2))
+        sobel_h = cv2.Sobel(h_dir, cv2.CV_64F, 1, 0, ksize=ksize)
+        sobel_v = cv2.Sobel(v_dir, cv2.CV_64F, 0, 1, ksize=ksize)
+        sobel_h = 1 - cv2.normalize(
+            sobel_h, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+        )
+        sobel_v = 1 - cv2.normalize(
+            sobel_v, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+        )
+
+        overall = np.maximum(sobel_h, sobel_v)
+        overall = overall - (1 - blb)
+        overall[overall < 0] = 0
+
+        dist = (1.0 - overall) * blb
+        dist = -cv2.GaussianBlur(dist, (3, 3), 0)
+
+        overall = np.array(overall >= 0.4, dtype=np.int32)
+        marker = blb - overall
+        marker[marker < 0] = 0
+        marker = ndimage.binary_fill_holes(marker).astype("uint8")
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+        marker = cv2.morphologyEx(marker, cv2.MORPH_OPEN, kernel)
+        marker = ndimage.label(marker)[0]
+        marker = _remove_small_objects(marker, min_size=obj_size)
+
+        return _watershed(dist, markers=marker, mask=blb)
+
+    @staticmethod
+    def get_instance_info(
+        pred_inst: np.ndarray,
+        pred_type: np.ndarray = None,
+        offset: tuple[int, int] = (0, 0),
+        *,
+        verbose: bool = True,  # noqa: ARG004
+    ) -> dict:
+        """Per-instance bbox/contour/centroid/type info via cv2.
+
+        Matches reference ``hovernet.py:619-750``.
+        """
+        inst_id_list = np.unique(pred_inst)[1:]
+        inst_info_dict = {}
+        offset = np.asarray(offset)
+        for inst_id in inst_id_list:
+            inst_map_full = pred_inst == inst_id
+            inst_box = get_bounding_box(inst_map_full)
+            inst_box_tl = inst_box[:2] + offset
+            inst_map = inst_map_full[
+                inst_box[1] : inst_box[3], inst_box[0] : inst_box[2]
+            ].astype(np.uint8)
+            inst_moment = cv2.moments(inst_map)
+            contours = cv2.findContours(
+                inst_map, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
+            )
+            inst_contour = np.squeeze(contours[0][0].astype(np.int32))
+            if inst_contour.ndim != 2 or inst_contour.shape[0] < 3:
+                continue
+            if inst_moment["m00"] == 0:
+                continue
+            inst_centroid = np.array(
+                [
+                    inst_moment["m10"] / inst_moment["m00"],
+                    inst_moment["m01"] / inst_moment["m00"],
+                ]
+            )
+            inst_contour = inst_contour + inst_box_tl[None]
+            inst_centroid = inst_centroid + inst_box_tl
+            inst_box = inst_box.copy()
+            inst_box[:2] += offset
+            inst_box[2:] += offset
+            inst_info_dict[int(inst_id)] = {
+                "box": inst_box,
+                "centroid": inst_centroid,
+                "contours": inst_contour,
+                "prob": None,
+                "type": None,
+            }
+
+        if pred_type is not None:
+            for inst_id, info in inst_info_dict.items():
+                box = info["box"].copy()
+                box[:2] -= offset
+                box[2:] -= offset
+                c_min, r_min, c_max, r_max = box
+                inst_map_crop = pred_inst[r_min:r_max, c_min:c_max] == inst_id
+                inst_type_crop = pred_type[r_min:r_max, c_min:c_max]
+                inst_type_vals = inst_type_crop[inst_map_crop]
+                type_list, type_pixels = np.unique(inst_type_vals, return_counts=True)
+                pairs = sorted(
+                    zip(type_list, type_pixels), key=lambda x: x[1], reverse=True
+                )
+                inst_type = pairs[0][0]
+                if inst_type == 0 and len(pairs) > 1:
+                    inst_type = pairs[1][0]
+                type_dict = {v[0]: v[1] for v in pairs}
+                type_prob = type_dict[inst_type] / (np.sum(inst_map_crop) + 1.0e-6)
+                info["type"] = int(inst_type)
+                info["prob"] = float(type_prob)
+        return inst_info_dict
+
+    def postproc(self, raw_maps: list, offset: tuple[int, int] = (0, 0)) -> tuple:
+        """[np, hv(, tp)] maps → ({instance seg result},) tuple.
+
+        Matches reference ``hovernet.py:751-860`` output structure.
+        """
+        if len(raw_maps) == 3:
+            np_map, hv_map, tp_map = raw_maps
+            tp_map = np.around(np.asarray(tp_map)).astype("uint8")
+        else:
+            tp_map = None
+            np_map, hv_map = raw_maps
+        np_map = np.asarray(np_map)
+        hv_map = np.asarray(hv_map)
+
+        pred_inst = HoVerNet._proc_np_hv(np_map, hv_map)
+        info_dict = HoVerNet.get_instance_info(pred_inst, tp_map, offset)
+
+        if not info_dict:
+            columns = {
+                "box": np.empty(0),
+                "centroid": np.empty(0),
+                "contours": np.empty(0),
+                "prob": np.empty(0),
+                "type": np.empty(0),
+            }
+        else:
+            keys = ["box", "centroid", "contours", "prob", "type"]
+            columns = {
+                k: np.array([info_dict[i][k] for i in info_dict], dtype=object)
+                for k in keys
+            }
+        nuclei_seg = {
+            "task_type": self.tasks[0],
+            "predictions": pred_inst,
+            "info_dict": columns,
+            "seg_type": "instance",
+        }
+        return (nuclei_seg,)
+
+
+def _remove_small_objects(labelled: np.ndarray, min_size: int) -> np.ndarray:
+    """Zero out labelled components smaller than min_size pixels."""
+    if min_size <= 1 or labelled.max() == 0:
+        return labelled
+    counts = np.bincount(labelled.ravel())
+    too_small = counts < min_size
+    too_small[0] = False
+    out = labelled.copy()
+    out[too_small[labelled]] = 0
+    return out
+
+
+def _watershed(image: np.ndarray, markers: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Marker-based watershed within a mask (skimage-compatible).
+
+    Priority-queue flood from markers over ``image`` (ascending), only
+    within ``mask``. Used where the reference calls
+    ``skimage.segmentation.watershed``.
+    """
+    import heapq
+
+    out = np.where(mask > 0, markers, -1).astype(np.int64)
+    h, w = image.shape
+    heap: list = []
+    counter = 0
+    marker_ys, marker_xs = np.nonzero((markers > 0) & (mask > 0))
+    for y, x in zip(marker_ys, marker_xs):
+        heapq.heappush(heap, (image[y, x], counter, y, x))
+        counter += 1
+    offsets = ((-1, 0), (1, 0), (0, -1), (0, 1))
+    while heap:
+        _, _, y, x = heapq.heappop(heap)
+        label = out[y, x]
+        for dy, dx in offsets:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and out[ny, nx] == 0:
+                out[ny, nx] = label
+                heapq.heappush(heap, (image[ny, nx], counter, ny, nx))
+                counter += 1
+    out[out < 0] = 0
+    return out.astype(markers.dtype if markers.dtype != bool else np.int32)

@@ -1,0 +1,256 @@
+"""Semantic segmentation engine with streaming probability-map merge.
+
+Reference: ``models/engine/semantic_segmentor.py`` — per-batch patch
+probabilities are accumulated into a whole-slide canvas with a count
+map for overlap normalization (merge_horizontal/merge_vertical
+:1186-1536), spilling to zarr under memory pressure.
+
+TPU-first shape: the model forward (+softmax+resize+crop) is one fused
+device program per batch; only compact probability patches cross to the
+host, which scatters them into a (RAM or zarr-backed) canvas chosen by
+``create_smart_array``. Overlapping strides average by construction.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from tiatoolbox_tpu import logger
+from tiatoolbox_tpu.models.dataset import WSIPatchDataset
+from tiatoolbox_tpu.models.engine.engine_abc import EngineABC
+from tiatoolbox_tpu.models.engine.io_config import IOSegmentorConfig
+from tiatoolbox_tpu.parallel import BatchLoader
+from tiatoolbox_tpu.utils.zarrlite import create_smart_array
+
+
+class SemanticSegmentor(EngineABC):
+    """WSI semantic segmentation with tiled stitching.
+
+    Run parameters add ``output_resolution`` handling via the
+    IOSegmentorConfig (patch_output_shape, save_resolution).
+    """
+
+    def __init__(
+        self,
+        model,
+        weights=None,
+        batch_size: int = 8,
+        num_loader_workers: int = 8,
+        device: str | None = None,
+        *,
+        verbose: bool = True,
+    ) -> None:
+        super().__init__(
+            model=model,
+            weights=weights,
+            batch_size=batch_size,
+            num_loader_workers=num_loader_workers,
+            device=device,
+            verbose=verbose,
+        )
+        self.cache_dir: Path | None = None
+        self.memory_threshold = 0.5  # fraction of free RAM before zarr spill
+
+    _RUN_PARAMS = (*EngineABC._RUN_PARAMS, "memory_threshold")
+
+    # -- data -------------------------------------------------------------------
+
+    def get_dataloader(
+        self,
+        images,
+        masks=None,
+        labels=None,
+        ioconfig=None,
+        *,
+        patch_mode: bool = True,
+    ) -> BatchLoader:
+        if patch_mode:
+            return super().get_dataloader(
+                images, masks, labels, ioconfig, patch_mode=True
+            )
+        ioconfig = ioconfig or self._ioconfig
+        resolution_dict = ioconfig.highest_input_resolution
+        patch_in_wh = tuple(int(v) for v in np.array(ioconfig.patch_input_shape)[::-1])
+        patch_out = getattr(ioconfig, "patch_output_shape", None)
+        patch_out_wh = (
+            tuple(int(v) for v in np.array(patch_out)[::-1]) if patch_out is not None else None
+        )
+        stride = ioconfig.stride_shape
+        stride_wh = tuple(int(v) for v in np.array(stride)[::-1])
+        dataset = WSIPatchDataset(
+            img_path=images,
+            mode="wsi",
+            mask_path=masks,
+            patch_input_shape=patch_in_wh,
+            stride_shape=stride_wh,
+            resolution=resolution_dict["resolution"],
+            units=resolution_dict["units"],
+            min_mask_ratio=self.min_mask_ratio,
+            preproc_func=self.model.preproc_func,
+            patch_output_shape=patch_out_wh,
+            auto_get_mask=self.auto_get_mask,
+        )
+        return BatchLoader(
+            dataset,
+            batch_size=self.batch_size,
+            num_workers=self.num_loader_workers,
+        )
+
+    # -- inference + merge ---------------------------------------------------------
+
+    def infer_wsi(self, dataloader: BatchLoader) -> dict:
+        """Run the device program over the grid and stitch the canvas."""
+        dataset: WSIPatchDataset = dataloader.dataset
+        ioconfig = self._ioconfig
+
+        # Canvas geometry: slide dims at the (single) output resolution.
+        out_res = (
+            ioconfig.output_resolutions[0]
+            if ioconfig.output_resolutions
+            else ioconfig.highest_input_resolution
+        )
+        canvas_wh = dataset.reader.slide_dimensions(
+            out_res["resolution"], out_res["units"]
+        )
+        # scale output coords (at input-read resolution) onto the canvas
+        read_wh = np.array(
+            dataset.reader.slide_dimensions(dataset.resolution, dataset.units),
+            dtype=float,
+        )
+        coord_scale = np.array(canvas_wh, dtype=float) / read_wh
+
+        n_channels = self._infer_output_channels(dataset)
+        canvas = create_smart_array(
+            (canvas_wh[1], canvas_wh[0], n_channels),
+            np.float32,
+            save_dir=self.cache_dir,
+            memory_fraction=self.memory_threshold,
+            name="canvas",
+        )
+        count = create_smart_array(
+            (canvas_wh[1], canvas_wh[0], 1),
+            np.float32,
+            save_dir=self.cache_dir,
+            memory_fraction=self.memory_threshold,
+            name="count",
+        )
+
+        outputs_arr = dataset.outputs
+        for batch in dataloader:
+            probs = self.model.infer_batch(self.model, batch["image"], self.device)
+            probs = np.asarray(probs, dtype=np.float32)
+            n_valid = batch["n_valid"]
+            indices = batch["indices"][:n_valid]
+            for i, ds_idx in enumerate(indices):
+                out_coords = outputs_arr[ds_idx].astype(float)
+                x0, y0, x1, y1 = (
+                    out_coords * np.tile(coord_scale, 2)
+                ).round().astype(int)
+                patch = probs[i]
+                ph, pw = patch.shape[:2]
+                # resize patch if canvas-space cell differs from model output
+                if (y1 - y0, x1 - x0) != (ph, pw) and (y1 - y0) > 0 and (x1 - x0) > 0:
+                    from tiatoolbox_tpu.utils.transforms import imresize
+
+                    patch = imresize(patch, output_size=(x1 - x0, y1 - y0))
+                    if patch.ndim == 2:
+                        patch = patch[:, :, None]
+                    ph, pw = patch.shape[:2]
+                # clip to canvas
+                cx1, cy1 = min(x1, canvas_wh[0]), min(y1, canvas_wh[1])
+                if cx1 <= x0 or cy1 <= y0:
+                    continue
+                patch = patch[: cy1 - y0, : cx1 - x0]
+                canvas[y0:cy1, x0:cx1] = canvas[y0:cy1, x0:cx1] + patch
+                count[y0:cy1, x0:cx1] = count[y0:cy1, x0:cx1] + 1.0
+
+        # Normalize in row blocks (bounded memory).
+        block = 2048
+        h = canvas.shape[0]
+        for y0 in range(0, h, block):
+            y1 = min(y0 + block, h)
+            c = np.asarray(canvas[y0:y1])
+            n = np.asarray(count[y0:y1])
+            canvas[y0:y1] = c / np.maximum(n, 1.0)
+
+        return {"probabilities": canvas}
+
+    def _infer_output_channels(self, dataset: WSIPatchDataset) -> int:
+        """Probe the model with one patch to learn output channel count."""
+        sample = dataset[0]["image"]
+        probe = self.model.infer_batch(
+            self.model, sample[None].astype(np.uint8), self.device
+        )
+        return int(np.asarray(probe).shape[-1])
+
+    # -- postproc/save ----------------------------------------------------------------
+
+    def post_process_wsi(self, raw_predictions: dict, **kwargs) -> dict:  # noqa: ARG002
+        probs = raw_predictions["probabilities"]
+        # argmax in row blocks to bound memory for zarr-backed canvases
+        h = probs.shape[0]
+        block = 2048
+        preds = np.empty((h, probs.shape[1]), dtype=np.uint8)
+        for y0 in range(0, h, block):
+            y1 = min(y0 + block, h)
+            preds[y0:y1] = np.argmax(np.asarray(probs[y0:y1]), axis=-1)
+        out = dict(raw_predictions)
+        out["predictions"] = preds
+        return out
+
+    def save_predictions(
+        self,
+        processed_predictions: dict,
+        output_type: str,
+        save_dir=None,
+        output_file: str | None = None,
+        **kwargs,
+    ):
+        if output_type.lower() == "annotationstore":
+            from tiatoolbox_tpu.utils.store_conversion import (
+                dict_to_store_semantic_segmentor,
+            )
+
+            out_path = Path(save_dir) / (output_file or "output.db")
+            return dict_to_store_semantic_segmentor(
+                processed_predictions,
+                scale_factor=kwargs.get("scale_factor", (1.0, 1.0)),
+                class_dict=self.class_dict,
+                save_path=out_path,
+            )
+        if output_type.lower() == "zarr":
+            from tiatoolbox_tpu.utils.zarrlite import ZarrGroup
+
+            out_path = Path(save_dir) / (output_file or "output.zarr")
+            group = ZarrGroup.create(out_path)
+            for key, value in processed_predictions.items():
+                from tiatoolbox_tpu.utils.zarrlite import ZarrArray
+
+                if isinstance(value, ZarrArray):
+                    # move/copy block-wise
+                    dest = group.create_array(
+                        key, shape=value.shape, dtype=value.dtype
+                    )
+                    blk = value.chunks[0]
+                    for y0 in range(0, value.shape[0], blk):
+                        y1 = min(y0 + blk, value.shape[0])
+                        dest[y0:y1] = value[y0:y1]
+                else:
+                    group.from_array(key, np.asarray(value))
+            return out_path
+        return processed_predictions
+
+    def _run_wsi_mode(self, output_type: str, save_dir, **kwargs):
+        if save_dir is not None:
+            self.cache_dir = Path(save_dir) / "cache"
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            return super()._run_wsi_mode(output_type, save_dir, **kwargs)
+        finally:
+            if self.cache_dir is not None:
+                import shutil
+
+                shutil.rmtree(self.cache_dir, ignore_errors=True)
+                self.cache_dir = None
