@@ -1,0 +1,379 @@
+"""Command line interface (reference ``tiatoolbox/cli`` — 14 commands).
+
+Run via ``python -m tiatoolbox_tpu.cli <command>`` or the installed
+``tiatoolbox-tpu`` entry point.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import click
+
+from tiatoolbox_tpu import __version__
+from tiatoolbox_tpu.cli.common import (
+    cli_batch_size,
+    cli_file_type,
+    cli_img_input,
+    cli_masks,
+    cli_mode,
+    cli_output_path,
+    cli_output_type,
+    cli_pretrained_model,
+    cli_pretrained_weights,
+    cli_resolution,
+    cli_units,
+    cli_verbose,
+    prepare_file_dir_cli,
+    tiatoolbox_cli,
+)
+
+
+@tiatoolbox_cli.command(name="slide-info")
+@cli_img_input()
+@cli_output_path(default=None)
+@cli_file_type()
+@click.option("--mode", default="show", type=click.Choice(["show", "save"]))
+@click.option("--verbose/--quiet", default=True)
+def slide_info(img_input, output_path, file_types, mode, verbose) -> None:  # noqa: ARG001
+    """Show or save normalized metadata of slide(s)."""
+    from tiatoolbox_tpu.utils.misc import save_yaml
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    files_all, output_path = prepare_file_dir_cli(
+        img_input, output_path, file_types, mode, "meta-data"
+    )
+    for file_path in files_all:
+        wsi = WSIReader.open(file_path)
+        info = wsi.info.as_dict()
+        info = {k: (str(v) if isinstance(v, Path) else v) for k, v in info.items()}
+        if mode == "show":
+            click.echo(json.dumps({k: str(v) for k, v in info.items()}, indent=2))
+        else:
+            save_yaml(
+                {k: str(v) for k, v in info.items()},
+                output_path / f"{Path(file_path).stem}.yaml",
+                exist_ok=True,
+            )
+    click.echo(f"Processed {len(files_all)} file(s).")
+
+
+@tiatoolbox_cli.command(name="slide-thumbnail")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@click.option("--mode", default="save", type=click.Choice(["show", "save"]))
+def slide_thumbnail(img_input, output_path, file_types, mode) -> None:
+    """Save a low-resolution slide thumbnail."""
+    from tiatoolbox_tpu.utils.misc import imwrite
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    files_all, output_path = prepare_file_dir_cli(
+        img_input, output_path, file_types, mode, "slide-thumbnail"
+    )
+    for file_path in files_all:
+        wsi = WSIReader.open(file_path)
+        thumb = wsi.slide_thumbnail()
+        imwrite(output_path / f"{Path(file_path).stem}_thumb.png", thumb)
+    click.echo(f"Saved {len(files_all)} thumbnail(s) to {output_path}.")
+
+
+@tiatoolbox_cli.command(name="read-bounds")
+@cli_img_input()
+@cli_output_path()
+@cli_resolution()
+@cli_units()
+@click.option("--region", default=None, help="left,top,right,bottom", type=str)
+def read_bounds(img_input, output_path, resolution, units, region) -> None:
+    """Read and save a bounds region from a slide."""
+    from tiatoolbox_tpu.utils.misc import imwrite
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    bounds = (
+        [int(v) for v in region.split(",")] if region else [0, 0, 2000, 2000]
+    )
+    wsi = WSIReader.open(img_input)
+    img = wsi.read_bounds(bounds, resolution=resolution, units=units)
+    if output_path is None:
+        output_path = Path(img_input).parent / "im_region.jpg"
+    imwrite(output_path, img)
+    click.echo(f"Saved region to {output_path}.")
+
+
+@tiatoolbox_cli.command(name="save-tiles")
+@cli_img_input()
+@cli_output_path(default="tiles")
+@cli_file_type()
+@click.option("--tile-objective-value", default=20, type=int)
+@click.option("--tile-read-size", default=(5000, 5000), type=(int, int))
+def save_tiles(img_input, output_path, file_types, tile_objective_value, tile_read_size) -> None:
+    """Save slide tiles at an objective power to a directory."""
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    files_all, output_path = prepare_file_dir_cli(
+        img_input, output_path, file_types, "save", "tiles"
+    )
+    for file_path in files_all:
+        wsi = WSIReader.open(file_path)
+        wsi.save_tiles(output_path, tile_objective_value, tile_read_size)
+    click.echo(f"Tiled {len(files_all)} slide(s) to {output_path}.")
+
+
+@tiatoolbox_cli.command(name="tissue-mask")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@click.option("--method", default="Otsu", type=click.Choice(["Otsu", "Morphological"]))
+@cli_resolution(default=1.25)
+@cli_units(default="power")
+@click.option("--mode", default="save", type=click.Choice(["show", "save"]))
+@click.option("--kernel-size", default=None, type=(int, int))
+def tissue_mask(img_input, output_path, file_types, method, resolution, units, mode, kernel_size) -> None:
+    """Generate tissue masks for slide(s)."""
+    import numpy as np
+
+    from tiatoolbox_tpu.utils.misc import imwrite
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    files_all, output_path = prepare_file_dir_cli(
+        img_input, output_path, file_types, mode, "tissue-mask"
+    )
+    masker_kwargs = {}
+    if kernel_size:
+        masker_kwargs["kernel_size"] = kernel_size
+    for file_path in files_all:
+        wsi = WSIReader.open(file_path)
+        mask = wsi.tissue_mask(
+            method=method.lower(), resolution=resolution, units=units
+        )
+        imwrite(
+            output_path / f"{Path(file_path).stem}_mask.png",
+            (mask.img.astype(np.uint8)) * 255,
+        )
+    click.echo(f"Masked {len(files_all)} slide(s).")
+
+
+@tiatoolbox_cli.command(name="stain-norm")
+@cli_img_input("Path to source image/patch.")
+@click.option("--target-input", help="Path to target (reference) image.", default=None)
+@cli_output_path(default="stainnorm_output")
+@cli_file_type(default="*.png, *.jpg, *.tif, *.tiff")
+@click.option(
+    "--method",
+    default="reinhard",
+    type=click.Choice(["reinhard", "custom", "ruifrok", "macenko", "vahadane"]),
+)
+@click.option("--stain-matrix", default=None, help="Stain matrix file for custom.")
+def stain_norm(img_input, target_input, output_path, file_types, method, stain_matrix) -> None:
+    """Stain-normalize source image(s) to a target image."""
+    from tiatoolbox_tpu.data import stain_norm_target
+    from tiatoolbox_tpu.tools.stainnorm import get_normalizer
+    from tiatoolbox_tpu.utils.misc import imread, imwrite
+
+    files_all, output_path = prepare_file_dir_cli(
+        img_input, output_path, file_types, "save", "stainnorm_output"
+    )
+    norm = get_normalizer(method, stain_matrix)
+    target = imread(target_input) if target_input else stain_norm_target()
+    norm.fit(target)
+    for file_path in files_all:
+        src = imread(file_path)
+        out = norm.transform(src)
+        imwrite(output_path / f"{Path(file_path).stem}_normalized.png", out)
+    click.echo(f"Normalized {len(files_all)} image(s) to {output_path}.")
+
+
+def _run_engine_cli(
+    engine_cls,
+    img_input,
+    output_path,
+    file_types,
+    mode,
+    pretrained_model,
+    pretrained_weights,
+    masks,
+    batch_size,
+    output_type,
+    *,
+    verbose: bool,
+    **engine_kwargs,
+):
+    files_all, output_path = prepare_file_dir_cli(
+        img_input, output_path, file_types, mode, "engine_output"
+    )
+    engine = engine_cls(
+        pretrained_model,
+        weights=pretrained_weights,
+        batch_size=batch_size,
+        verbose=verbose,
+    )
+    masks_list = [masks] * len(files_all) if masks else None
+    out = engine.run(
+        [str(f) for f in files_all],
+        masks=masks_list,
+        patch_mode=(mode == "tile"),
+        output_type=output_type,
+        save_dir=output_path / "raw",
+        overwrite=True,
+        **engine_kwargs,
+    )
+    click.echo(json.dumps({str(k): str(v) for k, v in out.items()}, indent=2))
+    return out
+
+
+@tiatoolbox_cli.command(name="patch-predictor")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@cli_mode()
+@cli_pretrained_model()
+@cli_pretrained_weights()
+@cli_masks()
+@cli_batch_size()
+@cli_output_type(default="zarr")
+@cli_verbose()
+def patch_predictor(**kwargs) -> None:
+    """Patch-level classification over slide(s)."""
+    from tiatoolbox_tpu.models.engine.patch_predictor import PatchPredictor
+
+    _run_engine_cli(PatchPredictor, **kwargs)
+
+
+@tiatoolbox_cli.command(name="semantic-segmentor")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@cli_mode()
+@cli_pretrained_model(default="fcn-tissue_mask")
+@cli_pretrained_weights()
+@cli_masks()
+@cli_batch_size()
+@cli_output_type(default="zarr")
+@cli_verbose()
+def semantic_segmentor(**kwargs) -> None:
+    """Semantic segmentation over slide(s)."""
+    from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
+
+    _run_engine_cli(SemanticSegmentor, **kwargs)
+
+
+@tiatoolbox_cli.command(name="multitask-segmentor")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@cli_mode()
+@cli_pretrained_model(default="hovernet_fast-pannuke")
+@cli_pretrained_weights()
+@cli_masks()
+@cli_batch_size()
+@cli_output_type(default="annotationstore")
+@cli_verbose()
+def multitask_segmentor(**kwargs) -> None:
+    """Multi-task (instance) segmentation over slide(s)."""
+    from tiatoolbox_tpu.models.engine.multi_task_segmentor import MultiTaskSegmentor
+
+    _run_engine_cli(MultiTaskSegmentor, **kwargs)
+
+
+@tiatoolbox_cli.command(name="nucleus-instance-segment")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@cli_mode()
+@cli_pretrained_model(default="hovernet_fast-pannuke")
+@cli_pretrained_weights()
+@cli_masks()
+@cli_batch_size()
+@cli_output_type(default="annotationstore")
+@cli_verbose()
+def nucleus_instance_segment(**kwargs) -> None:
+    """Nucleus instance segmentation (deprecated alias engine)."""
+    from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
+        NucleusInstanceSegmentor,
+    )
+
+    _run_engine_cli(NucleusInstanceSegmentor, **kwargs)
+
+
+@tiatoolbox_cli.command(name="nucleus-detector")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@cli_mode()
+@cli_pretrained_model(default="mapde-conic")
+@cli_pretrained_weights()
+@cli_masks()
+@cli_batch_size()
+@cli_output_type(default="annotationstore")
+@cli_verbose()
+def nucleus_detector(**kwargs) -> None:
+    """Nucleus detection over slide(s)."""
+    from tiatoolbox_tpu.models.engine.nucleus_detector import NucleusDetector
+
+    _run_engine_cli(NucleusDetector, **kwargs)
+
+
+@tiatoolbox_cli.command(name="deep-feature-extractor")
+@cli_img_input()
+@cli_output_path()
+@cli_file_type()
+@cli_mode()
+@cli_pretrained_model(default="resnet50-kather100k")
+@cli_pretrained_weights()
+@cli_masks()
+@cli_batch_size()
+@cli_output_type(default="zarr")
+@cli_verbose()
+def deep_feature_extractor(**kwargs) -> None:
+    """Deep feature extraction over slide(s)."""
+    from tiatoolbox_tpu.models.engine.deep_feature_extractor import (
+        DeepFeatureExtractor,
+    )
+
+    _run_engine_cli(DeepFeatureExtractor, **kwargs)
+
+
+@tiatoolbox_cli.command(name="show-wsi")
+@cli_img_input()
+@click.option("--overlays", default=None, help="Comma-separated overlay paths.")
+@click.option("--port", default=5000, type=int)
+@click.option("--host", default="127.0.0.1")
+def show_wsi(img_input, overlays, port, host) -> None:
+    """Serve a slide (and overlays) via the tile server."""
+    from tiatoolbox_tpu.visualization.tileserver import TileServer
+
+    layers = {"slide": img_input}
+    if overlays:
+        for i, overlay in enumerate(overlays.split(",")):
+            layers[f"overlay-{i}"] = overlay.strip()
+    server = TileServer(title="tiatoolbox-tpu", layers=layers)
+    click.echo(f"Serving on http://{host}:{port}")
+    server.run(host=host, port=port)
+
+
+@tiatoolbox_cli.command(name="visualize")
+@click.option("--img-input", default=None)
+@click.option("--port", default=5006, type=int)
+def visualize(img_input, port) -> None:
+    """Launch the visualization UI (tile server based)."""
+    from tiatoolbox_tpu.visualization.tileserver import TileServer
+
+    layers = {"slide": img_input} if img_input else {}
+    server = TileServer(title="tiatoolbox-tpu", layers=layers)
+    click.echo(f"Serving on http://127.0.0.1:{port}")
+    server.run(host="127.0.0.1", port=port)
+
+
+@tiatoolbox_cli.command(name="version")
+def version() -> None:
+    """Show version."""
+    click.echo(f"tiatoolbox-tpu {__version__}")
+
+
+def main() -> None:
+    tiatoolbox_cli()
+
+
+if __name__ == "__main__":
+    main()

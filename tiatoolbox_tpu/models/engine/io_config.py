@@ -115,6 +115,7 @@ class IOSegmentorConfig(ModelIOConfigABC):
 
     patch_output_shape: tuple | list | np.ndarray = None
     save_resolution: dict | None = None
+    tile_shape: tuple | list | np.ndarray = None
 
     def __post_init__(self) -> None:
         super().__post_init__()
@@ -127,4 +128,3 @@ class IOInstanceSegmentorConfig(IOSegmentorConfig):
     """I/O config for instance segmentation; adds tile margin geometry."""
 
     margin: int = None
-    tile_shape: tuple | list | np.ndarray = None
