@@ -1,0 +1,128 @@
+"""Native (C++) host-plane components, loaded via ctypes.
+
+Currently: a multithreaded libjpeg batch tile decoder used by the TIFF
+reader's hot read path. The shared library is compiled on first use
+with g++ and cached under ``$TIATOOLBOX_TPU_HOME/native``; when the
+toolchain or libjpeg is unavailable the callers fall back to OpenCV.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from tiatoolbox_tpu import logger, rcParam
+
+_lib = None
+_lib_checked = False
+
+
+def _source_path() -> Path:
+    return Path(__file__).parent / "jpegdec.cpp"
+
+
+def _build_library(out_path: Path) -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        str(_source_path()),
+        "-ljpeg",
+        "-lpthread",
+        "-o",
+        str(out_path),
+    ]
+    try:
+        result = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120, check=False
+        )
+    except (OSError, subprocess.TimeoutExpired) as exc:
+        logger.warning("Native build failed to launch: %s", exc)
+        return False
+    if result.returncode != 0:
+        logger.warning("Native build failed: %s", result.stderr[:500])
+        return False
+    return True
+
+
+def get_library():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _lib_checked  # noqa: PLW0603
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    if os.environ.get("TIATOOLBOX_TPU_NO_NATIVE"):
+        return None
+    cache_dir = Path(rcParam["TIATOOLBOX_HOME"]) / "native"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    lib_path = cache_dir / "libtiatpu_native.so"
+    src = _source_path()
+    if not lib_path.exists() or lib_path.stat().st_mtime < src.stat().st_mtime:
+        if not _build_library(lib_path):
+            return None
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+    except OSError as exc:  # pragma: no cover
+        logger.warning("Could not load native library: %s", exc)
+        return None
+    if lib.tiatpu_version() != 1:  # pragma: no cover
+        return None
+    lib.tiatpu_decode_jpeg_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.tiatpu_decode_jpeg_batch.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def decode_jpeg_batch(
+    streams: list[bytes],
+    tile_h: int,
+    tile_w: int,
+    out_ch: int = 3,
+    n_threads: int | None = None,
+) -> np.ndarray | None:
+    """Decode JPEG byte streams in parallel → [n, h, w, c] uint8.
+
+    Returns None when the native library is unavailable or any tile
+    fails (caller falls back to the OpenCV path).
+    """
+    lib = get_library()
+    if lib is None or not streams:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 4, len(streams), 16)
+    blob = b"".join(streams)
+    offsets = np.zeros(len(streams), np.uint64)
+    sizes = np.array([len(s) for s in streams], np.uint64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    out = np.zeros((len(streams), tile_h, tile_w, out_ch), np.uint8)
+    failures = lib.tiatpu_decode_jpeg_batch(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(streams),
+        out.ctypes.data_as(ctypes.c_void_p),
+        tile_h,
+        tile_w,
+        out_ch,
+        n_threads,
+    )
+    if failures:
+        logger.warning("Native JPEG decode: %d tile(s) failed.", failures)
+        return None
+    return out

@@ -407,6 +407,43 @@ class TiffFile:
             arr = out
         return arr
 
+    def _batch_decode_tiles(
+        self, page: TiffPage, ix0: int, iy0: int, ix1: int, iy1: int
+    ) -> dict[int, np.ndarray] | None:
+        """Decode all JPEG tiles of a region at once via the native decoder.
+
+        Returns {tile_index: array} or None (fall back to per-tile cv2).
+        """
+        if page.compression != COMPRESSION_JPEG or page.samples_per_pixel not in (1, 3):
+            return None
+        tw, tl = page.tile_width, page.tile_length
+        ta = page.tiles_across
+        indices = [
+            ty * ta + tx
+            for ty in range(iy0 // tl, (iy1 - 1) // tl + 1)
+            for tx in range(ix0 // tw, (ix1 - 1) // tw + 1)
+        ]
+        indices = [
+            i for i in indices if i < len(page.offsets) and page.byte_counts[i] > 0
+        ]
+        if len(indices) < 2:  # not worth the batch setup
+            return None
+        from tiatoolbox_tpu import native
+
+        streams = [
+            _merge_jpeg_tables(
+                page.jpeg_tables or b"",
+                self._read(page.offsets[i], page.byte_counts[i]),
+            )
+            for i in indices
+        ]
+        decoded = native.decode_jpeg_batch(
+            streams, tl, tw, out_ch=page.samples_per_pixel
+        )
+        if decoded is None:
+            return None
+        return {idx: decoded[k] for k, idx in enumerate(indices)}
+
     def read_region(
         self,
         page_index: int,
@@ -436,9 +473,16 @@ class TiffFile:
         if page.is_tiled:
             tw, tl = page.tile_width, page.tile_length
             ta = page.tiles_across
+            tile_cache = self._batch_decode_tiles(
+                page, ix0, iy0, ix1, iy1
+            )
             for ty in range(iy0 // tl, (iy1 - 1) // tl + 1):
                 for tx in range(ix0 // tw, (ix1 - 1) // tw + 1):
-                    tile = self._decode_block(page, ty * ta + tx, (tl, tw))
+                    idx = ty * ta + tx
+                    if tile_cache is not None and idx in tile_cache:
+                        tile = tile_cache[idx]
+                    else:
+                        tile = self._decode_block(page, idx, (tl, tw))
                     tx0, ty0_ = tx * tw, ty * tl
                     sx0, sy0 = max(ix0 - tx0, 0), max(iy0 - ty0_, 0)
                     sx1 = min(ix1 - tx0, tw)
