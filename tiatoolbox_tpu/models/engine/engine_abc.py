@@ -330,9 +330,13 @@ class EngineABC(ABC):
             scale_factor = self._calculate_scale_factor(dataloader)
             raw = self.infer_wsi(dataloader)
             processed = self.post_process_wsi(raw)
-            suffix = {"zarr": ".zarr", "annotationstore": ".db", "qupath": ".json"}.get(
-                output_type.lower(), ""
-            )
+            suffix = {
+                "zarr": ".zarr",
+                "annotationstore": ".db",
+                "qupath": ".json",
+                "ome-tiff": ".ome.tiff",
+                "ome_tiff": ".ome.tiff",
+            }.get(output_type.lower(), "")
             output_file = f"{Path(str(image)).stem}{suffix}" if suffix else None
             results[str(image)] = self.save_predictions(
                 processed,

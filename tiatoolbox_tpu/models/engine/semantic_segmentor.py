@@ -208,6 +208,15 @@ class SemanticSegmentor(EngineABC):
         output_file: str | None = None,
         **kwargs,
     ):
+        if output_type.lower() in ("ome-tiff", "ome_tiff"):
+            from tiatoolbox_tpu.utils.misc import (
+                write_probability_heatmap_as_ome_tiff,
+            )
+
+            out_path = Path(save_dir) / (output_file or "heatmap.ome.tiff")
+            probs = np.asarray(processed_predictions["probabilities"])
+            heat = probs[..., 1] if probs.ndim == 3 and probs.shape[-1] > 1 else probs
+            return write_probability_heatmap_as_ome_tiff(out_path, heat)
         if output_type.lower() == "annotationstore":
             from tiatoolbox_tpu.utils.store_conversion import (
                 dict_to_store_semantic_segmentor,

@@ -315,3 +315,73 @@ def select_device(*, on_gpu: bool | None = None) -> str:
 def string_to_tuple(in_str: str) -> tuple[str, ...]:
     """Split a comma separated string into a tuple of strings."""
     return tuple(substring.strip() for substring in in_str.split(","))
+
+
+def write_probability_heatmap_as_ome_tiff(
+    image_path,
+    probability_map,
+    colormap: int | None = None,
+    tile_size: int = 256,
+    mpp=None,
+) -> "Path":
+    """Write a probability map as a pyramidal OME-TIFF heatmap.
+
+    Reference ``utils/misc.py:1808-1904`` (tifffile bigtiff writer);
+    here built on the in-package ``TiffPyramidWriter`` with an OME-XML
+    ImageDescription.
+
+    Args:
+        image_path: Output .ome.tiff path.
+        probability_map: [H, W] float map in [0, 1] (or uint8).
+        colormap: Optional cv2 colormap id (e.g. cv2.COLORMAP_JET);
+            greyscale RGB when None.
+        tile_size: Pyramid tile size.
+        mpp: Optional (x, y) microns-per-pixel metadata.
+    """
+    from tiatoolbox_tpu.wsicore.tiffio import TiffPyramidWriter
+
+    prob = np.asarray(probability_map)
+    if prob.dtype != np.uint8:
+        prob = np.clip(prob * 255.0, 0, 255).astype(np.uint8)
+    if colormap is not None:
+        rgb = cv2.cvtColor(cv2.applyColorMap(prob, colormap), cv2.COLOR_BGR2RGB)
+    else:
+        rgb = np.stack([prob] * 3, axis=-1)
+
+    levels = [rgb]
+    while max(levels[-1].shape[:2]) > tile_size:
+        prev = levels[-1]
+        levels.append(
+            cv2.resize(
+                prev,
+                (max(1, prev.shape[1] // 2), max(1, prev.shape[0] // 2)),
+                interpolation=cv2.INTER_AREA,
+            )
+        )
+    h, w = rgb.shape[:2]
+    physical = ""
+    if mpp is not None:
+        mpp = np.broadcast_to(np.asarray(mpp, dtype=float), 2)
+        physical = (
+            f' PhysicalSizeX="{mpp[0]}" PhysicalSizeXUnit="µm"'
+            f' PhysicalSizeY="{mpp[1]}" PhysicalSizeYUnit="µm"'
+        )
+    ome_xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0" Name="probability_heatmap">'
+        f'<Pixels ID="Pixels:0" DimensionOrder="XYCZT" Type="uint8" '
+        f'SizeX="{w}" SizeY="{h}" SizeC="3" SizeZ="1" SizeT="1"'
+        f"{physical}>"
+        '<Channel ID="Channel:0:0" SamplesPerPixel="3"/>'
+        "<TiffData/></Pixels></Image></OME>"
+    )
+    writer = TiffPyramidWriter(
+        image_path,
+        tile_size=tile_size,
+        description=ome_xml,
+        mpp=tuple(mpp) if mpp is not None else None,
+        compression="deflate",
+    )
+    writer.write(levels)
+    return Path(image_path)
