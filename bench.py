@@ -6,11 +6,13 @@ Prints ONE JSON line:
 Primary metric: resnet18-kather100k whole-slide patch prediction
 throughput in patches/sec/chip (BASELINE.json north star: >=5x a
 reference GPU). The reference publishes no GPU number; vs_baseline is
-computed against a nominal 1000 patches/sec/GPU for the same model+
-pipeline (typical published resnet18 inference throughput with host
-dataloading), so vs_baseline >= 5.0 meets the north star.
+computed against a nominal 1000 patches/sec/GPU for the same
+model+pipeline, so vs_baseline >= 5.0 meets the north star.
 
-Secondary metrics (extra keys): Macenko stain-norm MPix/sec on device.
+Secondary metrics (extra keys): Macenko stain-norm MPix/sec on device
+and the on-device-only forward throughput (isolates the host->device
+link, which in this harness is a tunneled relay at ~50 MB/s — the
+binding constraint for end-to-end throughput here, not TPU compute).
 """
 
 from __future__ import annotations
@@ -23,28 +25,66 @@ import numpy as np
 
 def bench_patch_predictor() -> dict:
     import jax
+    import jax.numpy as jnp
 
     from tiatoolbox_tpu.data.synth import make_synthetic_slide
+    from tiatoolbox_tpu.models.architecture.vanilla import CNNModel
+    from tiatoolbox_tpu.models.engine.io_config import IOPatchPredictorConfig
     from tiatoolbox_tpu.models.engine.patch_predictor import PatchPredictor
 
-    slide_path = "/tmp/bench_slide.tiff"
+    import os
+
+    slide_path = f"/tmp/bench_slide_{os.getpid()}.tiff"
     make_synthetic_slide(slide_path, size=(8192, 6144), mpp=0.5, objective_power=20)
 
-    predictor = PatchPredictor(
-        "resnet18-kather100k", batch_size=128, num_loader_workers=16
+    batch_size = 128
+    model = CNNModel("resnet18", num_classes=9, compute_dtype=jnp.bfloat16)
+    model.init(input_shape=(1, 224, 224, 3))
+    ioconfig = IOPatchPredictorConfig(
+        input_resolutions=[{"units": "mpp", "resolution": 0.5}],
+        patch_input_shape=(224, 224),
+        stride_shape=(224, 224),
     )
-    # Warmup: compile the forward program on a single batch.
-    warm = np.zeros((128, 224, 224, 3), np.uint8)
-    predictor.model.infer_batch(predictor.model, warm)
-    jax.block_until_ready(predictor.model(np.zeros((128, 224, 224, 3), np.float32)))
+    predictor = PatchPredictor(
+        model, batch_size=batch_size, num_loader_workers=8
+    )
+
+    # Warm up/compile exactly the shape the run uses.
+    warm = np.zeros((batch_size, 224, 224, 3), np.uint8)
+    jax.block_until_ready(
+        jax.tree_util.tree_leaves(model.infer_batch(model, warm))
+    )
 
     t0 = time.perf_counter()
     out = predictor.run(
-        [slide_path], patch_mode=False, output_type="dict", auto_get_mask=False
+        [slide_path],
+        patch_mode=False,
+        ioconfig=ioconfig,
+        output_type="dict",
+        auto_get_mask=False,
     )
     elapsed = time.perf_counter() - t0
     n_patches = len(next(iter(out.values()))["predictions"])
-    return {"patches": n_patches, "seconds": elapsed, "pps": n_patches / elapsed}
+
+    # Device-only forward throughput (input resident in HBM).
+    x = jax.device_put(warm)
+    xf = jnp.asarray(x).astype(jnp.bfloat16) / 255.0
+    probs = model(xf)
+    jax.block_until_ready(probs)
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        probs = model(xf)
+    jax.block_until_ready(probs)
+    np.asarray(probs)
+    device_pps = batch_size * n_iter / (time.perf_counter() - t0)
+
+    return {
+        "patches": n_patches,
+        "seconds": elapsed,
+        "pps": n_patches / elapsed,
+        "device_only_pps": device_pps,
+    }
 
 
 def bench_stainnorm() -> dict:
@@ -58,10 +98,10 @@ def bench_stainnorm() -> dict:
     norm = get_normalizer("macenko")
     norm.fit(target)
     consts = norm.prepare_tile_transform(source)
-    tiles = np.stack([source] * 256)  # 256 tiles x 224x224 = 12.8 MPix
+    tiles = np.stack([source] * 256)  # 256 tiles = 12.8 MPix
     out = norm.transform_tiles(tiles, consts)  # compile warmup
     jax.block_until_ready(out)
-    n_iter = 20
+    n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = norm.transform_tiles(tiles, consts)
@@ -80,6 +120,7 @@ def main() -> None:
         "value": round(pp["pps"], 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(pp["pps"] / reference_gpu_pps, 3),
+        "device_only_patches_per_sec": round(pp["device_only_pps"], 1),
         "stainnorm_mpix_per_sec": round(sn["mpix_per_sec"], 2),
         "n_patches": pp["patches"],
         "wall_seconds": round(pp["seconds"], 2),

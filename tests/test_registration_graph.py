@@ -1,0 +1,182 @@
+"""Tests for registration, graph construction, and extended readers."""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+import pytest
+
+from tiatoolbox_tpu.data.synth import synthetic_he_patch
+
+
+@pytest.fixture(scope="module")
+def fixed_moving():
+    fixed = synthetic_he_patch((256, 256), seed=7)
+    rotation = cv2.getRotationMatrix2D((128, 128), 40, 1.0)
+    moving = cv2.warpAffine(fixed, rotation, (256, 256), borderValue=(255, 255, 255))
+    grey_f = cv2.cvtColor(fixed, cv2.COLOR_RGB2GRAY)
+    grey_m = cv2.cvtColor(moving, cv2.COLOR_RGB2GRAY)
+    return fixed, moving, (grey_f < 220).astype(np.uint8), (grey_m < 220).astype(np.uint8)
+
+
+class TestRegistration:
+    def test_prealignment_recovers_rotation(self, fixed_moving) -> None:
+        from tiatoolbox_tpu.tools.registration import prealignment
+
+        fixed, moving, fmask, mmask = fixed_moving
+        transform, _, _, dice_val = prealignment(fixed, moving, fmask, mmask)
+        assert dice_val > 0.7
+        assert not np.allclose(transform, np.eye(3))
+
+    def test_prealignment_validation(self, fixed_moving) -> None:
+        from tiatoolbox_tpu.tools.registration import prealignment
+
+        fixed, moving, fmask, mmask = fixed_moving
+        with pytest.raises(ValueError, match="rotation step"):
+            prealignment(fixed, moving, fmask, mmask, rotation_step=5)
+        with pytest.raises(ValueError, match="dice_overlap"):
+            prealignment(fixed, moving, fmask, mmask, dice_overlap=2)
+
+    def test_bspline_improves_alignment(self) -> None:
+        from tiatoolbox_tpu.tools.registration import (
+            apply_bspline_transform,
+            estimate_bspline_transform,
+        )
+
+        fixed = cv2.resize(synthetic_he_patch((128, 128), seed=3), (96, 96))
+        shift = np.float32([[1, 0, 4], [0, 1, 3]])
+        moving = cv2.warpAffine(fixed, shift, (96, 96), borderValue=(255, 255, 255))
+        field = estimate_bspline_transform(
+            fixed, moving, n_iterations=80, grid_space=24
+        )
+        assert field.shape == (96, 96, 2)
+        grey_fixed = cv2.cvtColor(fixed, cv2.COLOR_RGB2GRAY).astype(float)
+        grey_moving = cv2.cvtColor(moving, cv2.COLOR_RGB2GRAY).astype(float)
+        warped = apply_bspline_transform(fixed, grey_moving, field).astype(float)
+        assert np.abs(warped - grey_fixed).mean() < np.abs(grey_moving - grey_fixed).mean()
+
+    def test_match_histograms(self, fixed_moving) -> None:
+        from tiatoolbox_tpu.tools.registration import match_histograms
+
+        fixed, moving, *_ = fixed_moving
+        a, b = match_histograms(
+            cv2.cvtColor(fixed, cv2.COLOR_RGB2GRAY),
+            cv2.cvtColor(moving, cv2.COLOR_RGB2GRAY),
+        )
+        assert a.shape == b.shape
+
+    def test_affine_transformer(self, fixed_moving) -> None:
+        from tiatoolbox_tpu.tools.registration import AffineWSITransformer
+        from tiatoolbox_tpu.wsicore.wsireader import VirtualWSIReader
+
+        fixed, moving, *_ = fixed_moving
+        rotation = cv2.getRotationMatrix2D((128, 128), 40, 1.0)
+        transform = np.linalg.inv(np.vstack([rotation, [0, 0, 1]]))
+        tfm = AffineWSITransformer(VirtualWSIReader(moving), transform)
+        region = tfm.read_rect((64, 64), (64, 64))
+        mae = np.abs(
+            region.astype(float) - fixed[64:128, 64:128].astype(float)
+        ).mean()
+        assert mae < 10
+
+
+class TestGraph:
+    def test_build_graph(self) -> None:
+        from tiatoolbox_tpu.tools.graph import SlideGraphConstructor
+
+        rng = np.random.default_rng(0)
+        points = rng.random((60, 2)) * 1000
+        # index-scaled features (reference docstring example) so that
+        # clustering yields multiple clusters
+        features = np.array([rng.random(16) * n for n in range(60)])
+        graph = SlideGraphConstructor.build(points, features, lambda_h=0.3)
+        assert set(graph.keys()) == {"x", "edge_index", "coordinates"}
+        assert graph["edge_index"].shape[0] == 2
+        assert len(graph["x"]) == len(graph["coordinates"])
+
+    def test_delaunay_adjacency(self) -> None:
+        from tiatoolbox_tpu.tools.graph import delaunay_adjacency
+
+        rng = np.random.default_rng(1)
+        points = rng.random((30, 2)) * 100
+        adj = delaunay_adjacency(points, dthresh=50)
+        assert adj.shape == (30, 30)
+        assert np.array_equal(adj, adj.T)
+        with pytest.raises(ValueError, match=">= 4"):
+            delaunay_adjacency(points[:3], 50)
+
+    def test_affinity_to_edge_index(self) -> None:
+        from tiatoolbox_tpu.tools.graph import affinity_to_edge_index
+
+        affinity = np.array([[0, 1], [1, 0]])
+        edges = affinity_to_edge_index(affinity)
+        assert edges.shape == (2, 2)
+        with pytest.raises(ValueError, match="square"):
+            affinity_to_edge_index(np.zeros((2, 3)))
+
+
+class TestExtendedReaders:
+    def test_annotation_store_reader(self, tmp_path) -> None:
+        from tiatoolbox_tpu.annotation.geometry import Polygon
+        from tiatoolbox_tpu.annotation.storage import Annotation, SQLiteStore
+        from tiatoolbox_tpu.wsicore.store_reader import AnnotationStoreReader
+        from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+        store_path = tmp_path / "a.db"
+        store = SQLiteStore(store_path)
+        store.append(
+            Annotation(Polygon.from_bounds(50, 50, 200, 200), {"type": "x"})
+        )
+        store.commit()
+        store.close()
+        reader = WSIReader.open(store_path)
+        assert isinstance(reader, AnnotationStoreReader)
+        region = reader.read_rect((0, 0), (64, 64))
+        assert region.shape == (64, 64, 3)
+
+    def test_transformed_reader_affine(self) -> None:
+        from tiatoolbox_tpu.wsicore.store_reader import TransformedWSIReader
+
+        img = synthetic_he_patch((128, 128), seed=2)
+        reader = TransformedWSIReader(img, np.eye(3))
+        region = reader.read_rect((10, 10), (32, 32))
+        assert np.array_equal(region, img[10:42, 10:42])
+
+    def test_transformed_reader_field(self) -> None:
+        from tiatoolbox_tpu.wsicore.store_reader import TransformedWSIReader
+
+        img = synthetic_he_patch((128, 128), seed=2)
+        field = np.zeros((128, 128, 2), np.float32)
+        field[..., 0] = 5.0
+        reader = TransformedWSIReader(img, field)
+        region = reader.read_rect((40, 40), (32, 32))
+        assert np.abs(
+            region.astype(float) - img[40:72, 45:77].astype(float)
+        ).mean() < 2
+
+
+class TestOmeTiff:
+    def test_heatmap_roundtrip(self, tmp_path) -> None:
+        from tiatoolbox_tpu.utils.misc import write_probability_heatmap_as_ome_tiff
+        from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+        heat = np.random.default_rng(0).random((300, 400))
+        path = write_probability_heatmap_as_ome_tiff(
+            tmp_path / "h.ome.tiff", heat, mpp=(2.0, 2.0)
+        )
+        wsi = WSIReader.open(path)
+        assert wsi.info.slide_dimensions == (400, 300)
+        assert "OME" in wsi.info.raw["description"]
+
+
+def test_multichannel_to_rgb() -> None:
+    from tiatoolbox_tpu.utils.postproc_defs import MultichannelToRGB
+
+    img = np.random.default_rng(0).random((32, 32, 5)).astype(np.float32)
+    converter = MultichannelToRGB()
+    out = converter(img)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.uint8
+    converter.set_active_channels([0, 1])
+    out2 = converter(img)
+    assert out2.shape == (32, 32, 3)

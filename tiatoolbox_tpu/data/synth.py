@@ -50,7 +50,7 @@ def synthetic_he_patch(
 
     # Nuclei: scattered gaussian dots inside the tissue.
     nuclei = np.zeros((height, width), np.float32)
-    n_nuclei = int(tissue_mask.sum() / 600) + 5
+    n_nuclei = min(int(tissue_mask.sum() / 600) + 5, 4000)
     ys, xs = np.nonzero(tissue_mask)
     if len(ys):
         idx = rng.integers(0, len(ys), size=n_nuclei)

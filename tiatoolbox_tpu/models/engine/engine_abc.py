@@ -214,18 +214,24 @@ class EngineABC(ABC):
 
     def infer_patches(self, dataloader: BatchLoader, *, return_coordinates: bool = False) -> dict:
         """Stream batches through ``infer_batch``; accumulate host outputs."""
+        from tiatoolbox_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
         probabilities = []
         coordinates = []
         labels = []
         for batch in dataloader:
-            raw = self.model.infer_batch(self.model, batch["image"], self.device)
             n_valid = batch["n_valid"]
+            with timer.stage("infer", items=n_valid):
+                raw = self.model.infer_batch(self.model, batch["image"], self.device)
             raw = np.asarray(raw)[:n_valid]
             probabilities.append(raw)
             if return_coordinates and "coords" in batch:
                 coordinates.append(batch["coords"][:n_valid])
             if self.return_labels and "label" in batch:
                 labels.append(np.asarray(batch["label"])[:n_valid])
+        if self.verbose:
+            timer.report()
         output = {"probabilities": np.concatenate(probabilities, axis=0)}
         if coordinates:
             output["coordinates"] = np.concatenate(coordinates, axis=0)

@@ -214,8 +214,18 @@ def _packbits_decode(data: bytes) -> bytes:
 class TiffFile:
     """Parse a TIFF file and decode tile/strip/region data."""
 
-    def __init__(self, path: str | Path) -> None:
+    def __init__(self, path: str | Path, tile_cache_mb: int = 128) -> None:
         self.path = Path(path)
+        # LRU cache of decoded tiles: grid reads touch each tile up to
+        # 4x (patch grid vs tile grid misalignment); caching makes the
+        # host tiling layer decode each tile exactly once.
+        from collections import OrderedDict
+        import threading as _threading
+
+        self._tile_cache: OrderedDict = OrderedDict()
+        self._tile_cache_bytes = 0
+        self._tile_cache_limit = tile_cache_mb * (1 << 20)
+        self._cache_lock = _threading.Lock()
         self._fh = self.path.open("rb")
         header = self._fh.read(8)
         if header[:2] == b"II":
@@ -251,8 +261,11 @@ class TiffFile:
     # -- parsing -------------------------------------------------------------
 
     def _read(self, offset: int, size: int) -> bytes:
-        self._fh.seek(offset)
-        return self._fh.read(size)
+        # os.pread is positional (no shared seek state) → safe under the
+        # threaded batch loader reading many tiles concurrently.
+        import os
+
+        return os.pread(self._fh.fileno(), size, offset)
 
     def _parse_ifds(self, offset: int) -> None:
         bo = self.byteorder
@@ -353,7 +366,36 @@ class TiffFile:
 
     # -- decoding --------------------------------------------------------------
 
+    def _cache_get(self, key):
+        with self._cache_lock:
+            if key in self._tile_cache:
+                self._tile_cache.move_to_end(key)
+                return self._tile_cache[key]
+        return None
+
+    def _cache_put(self, key, tile: np.ndarray) -> None:
+        with self._cache_lock:
+            if key in self._tile_cache:
+                return
+            self._tile_cache[key] = tile
+            self._tile_cache_bytes += tile.nbytes
+            while self._tile_cache_bytes > self._tile_cache_limit and self._tile_cache:
+                _, evicted = self._tile_cache.popitem(last=False)
+                self._tile_cache_bytes -= evicted.nbytes
+
     def _decode_block(self, page: TiffPage, idx: int, shape: tuple[int, int]) -> np.ndarray:
+        """Decode tile/strip ``idx`` of a page to an HxWxC array (cached)."""
+        key = (page.index, idx)
+        cached = self._cache_get(key)
+        if cached is not None:
+            return cached
+        tile = self._decode_block_uncached(page, idx, shape)
+        self._cache_put(key, tile)
+        return tile
+
+    def _decode_block_uncached(
+        self, page: TiffPage, idx: int, shape: tuple[int, int]
+    ) -> np.ndarray:
         """Decode tile/strip ``idx`` of a page to an HxWxC array."""
         h, w = shape
         spp = page.samples_per_pixel
@@ -423,11 +465,20 @@ class TiffFile:
             for ty in range(iy0 // tl, (iy1 - 1) // tl + 1)
             for tx in range(ix0 // tw, (ix1 - 1) // tw + 1)
         ]
+        cached = {
+            i: self._cache_get((page.index, i))
+            for i in indices
+            if self._cache_get((page.index, i)) is not None
+        }
         indices = [
-            i for i in indices if i < len(page.offsets) and page.byte_counts[i] > 0
+            i
+            for i in indices
+            if i not in cached
+            and i < len(page.offsets)
+            and page.byte_counts[i] > 0
         ]
         if len(indices) < 2:  # not worth the batch setup
-            return None
+            return cached or None
         from tiatoolbox_tpu import native
 
         streams = [
@@ -441,8 +492,13 @@ class TiffFile:
             streams, tl, tw, out_ch=page.samples_per_pixel
         )
         if decoded is None:
-            return None
-        return {idx: decoded[k] for k, idx in enumerate(indices)}
+            return cached or None
+        result = dict(cached)
+        for k, idx in enumerate(indices):
+            tile = decoded[k]
+            result[idx] = tile
+            self._cache_put((page.index, idx), tile)
+        return result
 
     def read_region(
         self,
