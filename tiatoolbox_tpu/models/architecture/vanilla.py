@@ -89,15 +89,18 @@ class CNNModel(ModelABC):
         return argmax_last_axis(image=image)
 
     @staticmethod
-    def infer_batch(model: "CNNModel", batch_data, device: str | None = None):  # noqa: ARG004
+    def infer_batch(model: "CNNModel", batch_data, device: str | None = None):
         """uint8 NHWC batch → softmax probabilities (numpy).
 
         The cast + forward + softmax run as one device program; only
         the [N, num_classes] probabilities are copied back.
         """
+        return np.asarray(CNNModel.infer_batch_device(model, batch_data, device))
+
+    @classmethod
+    def infer_batch_device(cls, model: "CNNModel", batch_data, device: str | None = None):  # noqa: ARG003
         batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
-        probs = model(batch)
-        return np.asarray(probs)
+        return model(batch)
 
 
 class CNNBackbone(ModelABC):
@@ -112,7 +115,10 @@ class CNNBackbone(ModelABC):
         self.backbone = backbone
 
     @staticmethod
-    def infer_batch(model: "CNNBackbone", batch_data, device: str | None = None):  # noqa: ARG004
+    def infer_batch(model: "CNNBackbone", batch_data, device: str | None = None):
+        return np.asarray(CNNBackbone.infer_batch_device(model, batch_data, device))
+
+    @classmethod
+    def infer_batch_device(cls, model: "CNNBackbone", batch_data, device: str | None = None):  # noqa: ARG003
         batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
-        feats = model(batch)
-        return np.asarray(feats)
+        return model(batch)

@@ -217,19 +217,31 @@ class EngineABC(ABC):
         from tiatoolbox_tpu.utils.profiling import StageTimer
 
         timer = StageTimer()
-        probabilities = []
+        device_outputs = []  # device handles; fetched after the dispatch loop
+        n_valids = []
         coordinates = []
         labels = []
+        n_total = 0
+        import time as _time
+
+        t_start = _time.perf_counter()
         for batch in dataloader:
             n_valid = batch["n_valid"]
-            with timer.stage("infer", items=n_valid):
-                raw = self.model.infer_batch(self.model, batch["image"], self.device)
-            raw = np.asarray(raw)[:n_valid]
-            probabilities.append(raw)
+            # dispatch WITHOUT syncing: the next batch's host→HBM copy
+            # overlaps this batch's forward (async dispatch)
+            device_outputs.append(
+                self.model.infer_batch_device(self.model, batch["image"], self.device)
+            )
+            n_valids.append(n_valid)
+            n_total += n_valid
             if return_coordinates and "coords" in batch:
                 coordinates.append(batch["coords"][:n_valid])
             if self.return_labels and "label" in batch:
                 labels.append(np.asarray(batch["label"])[:n_valid])
+        probabilities = [
+            np.asarray(out)[:n] for out, n in zip(device_outputs, n_valids)
+        ]
+        timer.add("infer", _time.perf_counter() - t_start, items=n_total)
         if self.verbose:
             timer.report()
         output = {"probabilities": np.concatenate(probabilities, axis=0)}

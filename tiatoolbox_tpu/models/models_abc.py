@@ -122,6 +122,18 @@ class ModelABC:
         out = model(batch)
         return jax.tree_util.tree_map(np.asarray, out)
 
+    @classmethod
+    def infer_batch_device(cls, model: "ModelABC", batch_data, device: str | None = None):
+        """Like ``infer_batch`` but returns device arrays WITHOUT syncing.
+
+        Engines dispatch batch N+1 while batch N computes: the host→HBM
+        copy of the next batch overlaps the current forward (JAX async
+        dispatch), and compact outputs are fetched at the end. Default
+        falls back to the synchronous path for architectures whose
+        ``infer_batch`` does host-side work.
+        """
+        return cls.infer_batch(model, batch_data, device)
+
 
 def model_to(model: ModelABC, device: str | None = None) -> ModelABC:  # noqa: ARG001
     """API-compat shim: JAX manages device placement; returns the model.

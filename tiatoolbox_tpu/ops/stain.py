@@ -88,22 +88,12 @@ def _stain_kernel(r_ref, g_ref, b_ref, coef_ref, or_ref, og_ref, ob_ref):
     store(ob_ref, m02, m12)
 
 
-def stain_transform_pallas(
-    tiles: np.ndarray | jnp.ndarray,
-    conc_proj,
-    target_stains,
-    conc_scale,
-    block_rows: int = 256,
-) -> jnp.ndarray:
-    """Pallas-fused stain transform over uint8 RGB tiles.
-
-    Flattens pixels to a (rows, 128) planar layout per channel, runs a
-    single-VMEM-pass kernel, and restores the original shape.
-    """
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _stain_pallas_program(tiles, coefs, block_rows: int = 256):
+    """Jitted wrapper: layout shuffle + kernel as ONE device program."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    tiles = jnp.asarray(tiles)
     orig_shape = tiles.shape
     n_pix = int(np.prod(orig_shape[:-1]))
     lanes = 128
@@ -114,11 +104,6 @@ def stain_transform_pallas(
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     planes = [flat[:, c].reshape(rows, lanes) for c in range(3)]
-
-    coefs = jnp.zeros((1, 16), jnp.float32)
-    coefs = coefs.at[0, 0:6].set(jnp.asarray(conc_proj, jnp.float32).reshape(-1))
-    coefs = coefs.at[0, 6:8].set(jnp.asarray(conc_scale, jnp.float32).reshape(-1))
-    coefs = coefs.at[0, 8:14].set(jnp.asarray(target_stains, jnp.float32).reshape(-1))
 
     grid = (-(-rows // block_rows),)
     block = (block_rows, lanes)
@@ -140,6 +125,27 @@ def stain_transform_pallas(
     if pad:
         out = out[:n_pix]
     return out.reshape(orig_shape)
+
+
+def stain_transform_pallas(
+    tiles: np.ndarray | jnp.ndarray,
+    conc_proj,
+    target_stains,
+    conc_scale,
+    block_rows: int = 256,
+) -> jnp.ndarray:
+    """Pallas-fused stain transform over uint8 RGB tiles.
+
+    Flattens pixels to a (rows, 128) planar layout per channel, runs a
+    single-VMEM-pass kernel, and restores the original shape. The whole
+    thing (layout + kernel) compiles to one XLA program → one dispatch
+    per call (dispatch latency dominates on remote-attached devices).
+    """
+    coefs = np.zeros((1, 16), np.float32)
+    coefs[0, 0:6] = np.asarray(conc_proj, np.float32).reshape(-1)
+    coefs[0, 6:8] = np.asarray(conc_scale, np.float32).reshape(-1)
+    coefs[0, 8:14] = np.asarray(target_stains, np.float32).reshape(-1)
+    return _stain_pallas_program(jnp.asarray(tiles), jnp.asarray(coefs), block_rows)
 
 
 def apply_stain_transform(tiles, conc_proj, target_stains, conc_scale):
