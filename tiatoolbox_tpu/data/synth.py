@@ -120,3 +120,70 @@ def make_synthetic_slide(
     )
     writer.write(images)
     return path
+
+
+def make_synthetic_dicom(
+    path: str | Path,
+    size: tuple[int, int] = (512, 384),
+    frame_size: int = 128,
+    mpp: float = 0.5,
+    seed: int = 21,
+) -> Path:
+    """Write a minimal TILED_FULL WSI DICOM instance (native pixels).
+
+    Exercises the in-package DICOM parser; explicit VR little endian,
+    uncompressed RGB frames in row-major tile order.
+    """
+    import struct
+
+    path = Path(path)
+    width, height = size
+    img = synthetic_he_patch(size=size, seed=seed)
+    frames_across = -(-width // frame_size)
+    frames_down = -(-height // frame_size)
+    frames = []
+    for fy in range(frames_down):
+        for fx in range(frames_across):
+            tile = np.zeros((frame_size, frame_size, 3), np.uint8)
+            block = img[
+                fy * frame_size : (fy + 1) * frame_size,
+                fx * frame_size : (fx + 1) * frame_size,
+            ]
+            tile[: block.shape[0], : block.shape[1]] = block
+            frames.append(tile.tobytes())
+    pixel_data = b"".join(frames)
+
+    def element(group, elem, vr, value: bytes) -> bytes:
+        if len(value) % 2:
+            value += b"\x00" if vr != b"UI" else b"\x00"
+        head = struct.pack("<HH", group, elem) + vr
+        if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+            return head + b"\x00\x00" + struct.pack("<I", len(value)) + value
+        return head + struct.pack("<H", len(value)) + value
+
+    ts = b"1.2.840.10008.1.2.1"  # explicit VR LE
+    meta = b"".join(
+        [
+            element(0x0002, 0x0010, b"UI", ts),
+        ]
+    )
+    mm = mpp / 1000.0
+    spacing = f"{mm:.6f}\\{mm:.6f}".encode()
+    dataset = b"".join(
+        [
+            element(0x0008, 0x0008, b"CS", b"ORIGINAL\\PRIMARY\\VOLUME"),
+            element(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
+            element(0x0028, 0x0008, b"IS", str(len(frames)).encode()),
+            element(0x0028, 0x0010, b"US", struct.pack("<H", frame_size)),
+            element(0x0028, 0x0011, b"US", struct.pack("<H", frame_size)),
+            element(0x0028, 0x0030, b"DS", spacing),
+            element(0x0048, 0x0006, b"UL", struct.pack("<I", width)),
+            element(0x0048, 0x0007, b"UL", struct.pack("<I", height)),
+            element(0x7FE0, 0x0010, b"OB", pixel_data),
+        ]
+    )
+    with path.open("wb") as fh:
+        fh.write(b"\x00" * 128 + b"DICM")
+        fh.write(meta)
+        fh.write(dataset)
+    return path

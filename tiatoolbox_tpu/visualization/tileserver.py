@@ -89,6 +89,12 @@ class TileServer:
         try:
             if path == "/":
                 return self._respond_html(start_response, self._index_html())
+            if path == "/viewer":
+                from tiatoolbox_tpu.visualization.viewer import render_viewer_html
+
+                return self._respond_html(
+                    start_response, render_viewer_html(self.title)
+                )
             if path == "/tileserver/layers":
                 return self._respond_json(
                     start_response, {"layers": list(self.layers.keys())}

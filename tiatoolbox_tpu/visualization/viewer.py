@@ -1,0 +1,180 @@
+"""Self-contained HTML slide viewer (Bokeh-app replacement).
+
+The reference ships a 2.7k-line Bokeh application
+(``visualization/bokeh_app/main.py``) talking to the Flask TileServer.
+This build serves an equivalent zero-dependency viewer page: a vanilla
+JS pan/zoom canvas that pulls Zoomify tiles from the in-process tile
+server, with layer toggles, opacity control, and tap-to-query of
+annotation properties.
+"""
+
+from __future__ import annotations
+
+VIEWER_HTML = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8"/>
+<title>{title}</title>
+<style>
+  body {{ margin: 0; font-family: sans-serif; background: #222; color: #eee; }}
+  #toolbar {{ padding: 8px; background: #333; display: flex; gap: 12px;
+             align-items: center; flex-wrap: wrap; }}
+  #view {{ position: relative; overflow: hidden; width: 100vw;
+          height: calc(100vh - 48px); cursor: grab; }}
+  canvas {{ position: absolute; top: 0; left: 0; }}
+  #info {{ position: absolute; bottom: 8px; left: 8px; background:
+          rgba(0,0,0,.7); padding: 6px 10px; border-radius: 4px;
+          font-size: 12px; max-width: 40em; white-space: pre-wrap; }}
+  label {{ font-size: 13px; }}
+</style>
+</head>
+<body>
+<div id="toolbar">
+  <strong>{title}</strong>
+  <span id="layers"></span>
+  <label>overlay opacity
+    <input id="alpha" type="range" min="0" max="1" step="0.05" value="0.7"/>
+  </label>
+  <span id="pos"></span>
+</div>
+<div id="view"><canvas id="canvas"></canvas><div id="info"></div></div>
+<script>
+const TILE = 256;
+let layers = [];
+let visible = {{}};
+let meta = null;
+let scale = 0.1, ox = 0, oy = 0;  // world→screen: s = world*scale + o
+let alpha = 0.7;
+const canvas = document.getElementById('canvas');
+const ctx = canvas.getContext('2d');
+const view = document.getElementById('view');
+const tileCache = new Map();
+
+async function init() {{
+  const resp = await fetch('/tileserver/layers');
+  layers = (await resp.json()).layers;
+  const span = document.getElementById('layers');
+  for (const name of layers) {{
+    visible[name] = true;
+    const lbl = document.createElement('label');
+    const cb = document.createElement('input');
+    cb.type = 'checkbox'; cb.checked = true;
+    cb.onchange = () => {{ visible[name] = cb.checked; draw(); }};
+    lbl.appendChild(cb); lbl.appendChild(document.createTextNode(name));
+    span.appendChild(lbl);
+  }}
+  const infoResp = await fetch('/tileserver/info/' + layers[0]);
+  meta = await infoResp.json();
+  resize();
+  const [w, h] = meta.slide_dimensions;
+  scale = Math.min(canvas.width / w, canvas.height / h);
+  draw();
+}}
+
+function resize() {{
+  canvas.width = view.clientWidth;
+  canvas.height = view.clientHeight;
+}}
+
+function levelForScale(s) {{
+  const [w, h] = meta.slide_dimensions;
+  const nLevels = Math.ceil(Math.log2(Math.max(w, h) / TILE)) + 1;
+  // level L renders slide at 2^(nLevels-1-L) downsample
+  let lvl = nLevels - 1 + Math.ceil(Math.log2(Math.min(s, 1)));
+  return [Math.max(0, Math.min(nLevels - 1, lvl)), nLevels];
+}}
+
+function tileURL(layer, z, x, y) {{
+  return `/tileserver/layer/${{layer}}/default/zoomify/TileGroup0/${{z}}-${{x}}-${{y}}.jpg`;
+}}
+
+function getTile(layer, z, x, y) {{
+  const key = `${{layer}}/${{z}}/${{x}}/${{y}}`;
+  if (tileCache.has(key)) return tileCache.get(key);
+  const img = new Image();
+  img.onload = draw;
+  img.src = tileURL(layer, z, x, y);
+  tileCache.set(key, img);
+  if (tileCache.size > 600) tileCache.delete(tileCache.keys().next().value);
+  return img;
+}}
+
+function draw() {{
+  if (!meta) return;
+  ctx.fillStyle = '#111';
+  ctx.fillRect(0, 0, canvas.width, canvas.height);
+  const [lvl, nLevels] = levelForScale(scale);
+  const ds = Math.pow(2, nLevels - 1 - lvl);  // slide px per level px
+  const tileWorld = TILE * ds;                 // slide px per tile
+  const x0 = Math.max(0, Math.floor((-ox / scale) / tileWorld));
+  const y0 = Math.max(0, Math.floor((-oy / scale) / tileWorld));
+  const x1 = Math.ceil(((canvas.width - ox) / scale) / tileWorld);
+  const y1 = Math.ceil(((canvas.height - oy) / scale) / tileWorld);
+  for (let li = 0; li < layers.length; li++) {{
+    const name = layers[li];
+    if (!visible[name]) continue;
+    ctx.globalAlpha = li === 0 ? 1.0 : alpha;
+    for (let ty = y0; ty <= y1; ty++) {{
+      for (let tx = x0; tx <= x1; tx++) {{
+        const img = getTile(name, lvl, tx, ty);
+        if (img.complete && img.naturalWidth > 0) {{
+          ctx.drawImage(img, ox + tx * tileWorld * scale,
+                        oy + ty * tileWorld * scale,
+                        tileWorld * scale, tileWorld * scale);
+        }}
+      }}
+    }}
+  }}
+  ctx.globalAlpha = 1.0;
+}}
+
+let dragging = false, lastX = 0, lastY = 0, moved = false;
+view.onmousedown = e => {{ dragging = true; moved = false;
+                          lastX = e.clientX; lastY = e.clientY; }};
+window.onmouseup = async e => {{
+  if (dragging && !moved) {{
+    const wx = (e.clientX - ox) / scale, wy = (e.clientY - 48 - oy) / scale;
+    for (const name of layers.slice(1)) {{
+      const r = await fetch(`/tileserver/tap_query/${{name}}/${{wx}}/${{wy}}`);
+      if (r.ok) {{
+        const hits = (await r.json()).annotations;
+        document.getElementById('info').textContent =
+          hits.length ? JSON.stringify(hits, null, 1) : '';
+      }}
+    }}
+  }}
+  dragging = false;
+}};
+window.onmousemove = e => {{
+  document.getElementById('pos').textContent =
+    `(${{Math.round((e.clientX - ox)/scale)}}, ` +
+    `${{Math.round((e.clientY - 48 - oy)/scale)}})`;
+  if (!dragging) return;
+  moved = true;
+  ox += e.clientX - lastX; oy += e.clientY - lastY;
+  lastX = e.clientX; lastY = e.clientY;
+  draw();
+}};
+view.onwheel = e => {{
+  e.preventDefault();
+  const f = Math.pow(1.0015, -e.deltaY);
+  const mx = e.clientX, my = e.clientY - 48;
+  ox = mx - (mx - ox) * f;
+  oy = my - (my - oy) * f;
+  scale *= f;
+  draw();
+}};
+document.getElementById('alpha').oninput = e => {{
+  alpha = parseFloat(e.target.value); draw();
+}};
+window.onresize = () => {{ resize(); draw(); }};
+init();
+</script>
+</body>
+</html>
+"""
+
+
+def render_viewer_html(title: str = "tiatoolbox-tpu viewer") -> str:
+    """The viewer page HTML (layers discovered client-side)."""
+    return VIEWER_HTML.format(title=title)

@@ -92,6 +92,8 @@ class WSIReader:
         last = suffixes[-1] if suffixes else ""
         if last == ".npy":
             return VirtualWSIReader(np.load(str(path)), mpp=mpp, power=power, **kwargs)
+        if magic.is_dcm(path) or last == ".dcm":
+            return DICOMWSIReader(path, mpp=mpp, power=power)
         if magic.is_tiff(path):
             return TIFFWSIReader(path, mpp=mpp, power=power)
         if magic.is_jp2(path) or last == ".jp2":
@@ -836,6 +838,47 @@ class JP2WSIReader(WSIReader):
         if region.ndim == 2:
             region = region[:, :, None]
         return region
+
+
+class DICOMWSIReader(WSIReader):
+    """WSI DICOM reader on the in-package parser (no pydicom).
+
+    Reference uses wsidicom (``wsireader.py:5191-5724``); this build
+    parses TILED_FULL instances natively (``wsicore/dicom.py``). A
+    directory of ``.dcm`` instances is treated as one pyramid.
+    """
+
+    def __init__(self, input_img, mpp=None, power=None) -> None:
+        super().__init__(input_img, mpp=mpp, power=power)
+        from tiatoolbox_tpu.wsicore.dicom import DicomSlide
+
+        self.slide = DicomSlide(self.input_path)
+        self._n_channels = 3
+
+    def _info(self) -> WSIMeta:
+        dims = [
+            (inst.total_shape[1], inst.total_shape[0]) for inst in self.slide.levels
+        ]
+        base = dims[0]
+        mpp = self.slide.levels[0].mpp
+        power = (
+            float(utils.misc.mpp2common_objective_power(mpp[0])) if mpp else None
+        )
+        return WSIMeta(
+            file_path=self.input_path,
+            axes="YXS",
+            slide_dimensions=base,
+            level_dimensions=dims,
+            level_downsamples=[base[0] / d[0] for d in dims],
+            level_count=len(dims),
+            vendor="dicom",
+            mpp=mpp,
+            objective_power=power,
+            raw=None,
+        )
+
+    def _read_level_within(self, location, size, level: int) -> np.ndarray:
+        return self.slide.read_region(level, location, size)
 
 
 class ZarrWSIReader(WSIReader):
