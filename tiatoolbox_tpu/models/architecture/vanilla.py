@@ -27,7 +27,14 @@ def argmax_last_axis(image: np.ndarray) -> np.ndarray:
     return np.argmax(image, axis=-1)
 
 
+from tiatoolbox_tpu.models.architecture.cnn_backbones import EXTRA_BACKBONES
+
 backbone_dict = {name: (ResNet, cfg) for name, cfg in RESNET_CONFIGS.items()}
+backbone_dict.update(
+    {name: (cls, cfg) for name, (cls, cfg, _) in EXTRA_BACKBONES.items()}
+)
+_FEATURE_WIDTHS = dict(RESNET_FEATURES)
+_FEATURE_WIDTHS.update({name: width for name, (_, _, width) in EXTRA_BACKBONES.items()})
 
 
 def get_backbone(backbone: str, name: str = "backbone") -> tuple[nn.Module, int]:
@@ -36,7 +43,7 @@ def get_backbone(backbone: str, name: str = "backbone") -> tuple[nn.Module, int]
         msg = f"Backbone {backbone!r} not supported."
         raise ValueError(msg)
     cls, cfg = backbone_dict[backbone]
-    return cls(**cfg, name=name), RESNET_FEATURES[backbone]
+    return cls(**cfg, name=name), _FEATURE_WIDTHS[backbone]
 
 
 class _CNNClassifier(nn.Module):
