@@ -106,7 +106,8 @@ class CNNModel(ModelABC):
 
     @classmethod
     def infer_batch_device(cls, model: "CNNModel", batch_data, device: str | None = None):  # noqa: ARG003
-        batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
+        batch = model.shard_batch(batch_data)
+        batch = jnp.asarray(batch).astype(model.compute_dtype) / 255.0
         return model(batch)
 
 
@@ -127,5 +128,6 @@ class CNNBackbone(ModelABC):
 
     @classmethod
     def infer_batch_device(cls, model: "CNNBackbone", batch_data, device: str | None = None):  # noqa: ARG003
-        batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
+        batch = model.shard_batch(batch_data)
+        batch = jnp.asarray(batch).astype(model.compute_dtype) / 255.0
         return model(batch)

@@ -44,6 +44,38 @@ class ModelABC:
         self._preproc_func: Callable | None = None
         self._postproc_func: Callable | None = None
         self._jitted = None
+        self.mesh = None  # set by enable_data_parallel()
+
+    def enable_data_parallel(self, n_devices: int | None = None) -> "ModelABC":
+        """Shard the batch axis over the local device mesh (dp).
+
+        Replicates weights onto every device and makes subsequent
+        forwards split axis 0 across the 1-D "data" mesh; XLA inserts
+        any ICI collectives. No-op graphs on one device.
+        """
+        from tiatoolbox_tpu.parallel.mesh import (
+            get_data_mesh,
+            shard_model_variables,
+        )
+
+        self.mesh = get_data_mesh(n_devices)
+        if self.variables is not None:
+            self.variables = shard_model_variables(self.variables, self.mesh)
+        self._jitted = None
+        return self
+
+    def shard_batch(self, batch):
+        """Place a host batch with axis 0 sharded over the mesh (if any)."""
+        if self.mesh is None:
+            return batch
+        import numpy as _np
+
+        from tiatoolbox_tpu.parallel.mesh import pad_to_multiple, shard_batch
+
+        n_dev = self.mesh.size
+        arr = _np.asarray(batch)
+        padded, _ = pad_to_multiple(arr, n_dev)
+        return shard_batch(padded, self.mesh)
 
     # -- weights ---------------------------------------------------------------
 
