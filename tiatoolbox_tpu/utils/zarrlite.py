@@ -98,8 +98,10 @@ class ZarrArray:
             if overwrite:
                 shutil.rmtree(path)
         path.mkdir(parents=True, exist_ok=True)
+        shape = tuple(int(v) for v in shape)
         if chunks is None:
             chunks = _default_chunks(shape, np.dtype(dtype))
+        chunks = tuple(int(v) for v in chunks)
         meta = {
             "zarr_format": 2,
             "shape": list(shape),
