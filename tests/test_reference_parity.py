@@ -1,0 +1,148 @@
+"""Numerical parity against the actual reference implementation.
+
+Imports the reference package from /root/reference with absent native
+deps stubbed (``ref_compat``); compares outputs of the algorithms whose
+parity is a north-star requirement (BASELINE.json): stain
+normalization (pixel-identical Macenko) and patch-grid math.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+if not Path("/root/reference/tiatoolbox").exists():  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+import ref_compat
+
+ref_compat.install()
+
+from tiatoolbox_tpu.data.synth import synthetic_he_patch  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def target() -> np.ndarray:
+    return synthetic_he_patch((224, 224), seed=1)
+
+@pytest.fixture(scope="module")
+def source() -> np.ndarray:
+    return synthetic_he_patch((224, 224), seed=42)
+
+
+@pytest.mark.parametrize("method", ["ruifrok", "macenko", "reinhard"])
+def test_stainnorm_pixel_identical(method, target, source) -> None:
+    """Host stain normalization is bit-identical to the reference."""
+    from tiatoolbox.tools.stainnorm import get_normalizer as ref_get_normalizer
+
+    from tiatoolbox_tpu.tools.stainnorm import get_normalizer
+
+    ref = ref_get_normalizer(method)
+    ref.fit(target.copy())
+    ours = get_normalizer(method)
+    ours.fit(target.copy())
+    ref_out = ref.transform(source.copy())
+    our_out = ours.transform(source.copy())
+    assert np.array_equal(ref_out, our_out)
+
+
+def test_device_macenko_within_one(target, source) -> None:
+    """Device (fused f32) Macenko is within +-1 of the reference."""
+    from tiatoolbox.tools.stainnorm import get_normalizer as ref_get_normalizer
+
+    from tiatoolbox_tpu.tools.stainnorm import get_normalizer
+
+    ref = ref_get_normalizer("macenko")
+    ref.fit(target.copy())
+    ours = get_normalizer("macenko")
+    ours.fit(target.copy())
+    consts = ours.prepare_tile_transform(source)
+    device_out = np.asarray(ours.transform_tiles(source[None], consts))[0]
+    ref_out = ref.transform(source.copy())
+    diff = np.abs(device_out.astype(int) - ref_out.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.9
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(
+            image_shape=(1000, 800),
+            patch_input_shape=(224, 224),
+            stride_shape=(150, 150),
+        ),
+        dict(
+            patch_output_shape=(164, 164),
+            image_shape=(2000, 1500),
+            patch_input_shape=(256, 256),
+            stride_shape=(164, 164),
+        ),
+        dict(
+            image_shape=(513, 511),
+            patch_input_shape=(64, 64),
+            stride_shape=(32, 48),
+            input_within_bound=True,
+        ),
+    ],
+)
+def test_patch_grid_exact(kwargs) -> None:
+    """get_coordinates integer math matches the reference exactly."""
+    from tiatoolbox.tools.patchextraction import PatchExtractor as RefPE
+
+    from tiatoolbox_tpu.tools.patchextraction import PatchExtractor as OurPE
+
+    ref_out = RefPE.get_coordinates(**kwargs)
+    our_out = OurPE.get_coordinates(**kwargs)
+    if isinstance(ref_out, tuple):
+        for a, b in zip(ref_out, our_out):
+            assert np.array_equal(a, b)
+    else:
+        assert np.array_equal(ref_out, our_out)
+
+
+def test_transforms_parity(source) -> None:
+    """rgb2od / od2rgb / luminosity mask match the reference."""
+    from tiatoolbox.utils import misc as ref_misc
+    from tiatoolbox.utils import transforms as ref_transforms
+
+    from tiatoolbox_tpu.utils import misc, transforms
+
+    assert np.allclose(
+        ref_transforms.rgb2od(source.copy()), transforms.rgb2od(source.copy())
+    )
+    od = transforms.rgb2od(source.copy())
+    assert np.array_equal(ref_transforms.od2rgb(od), transforms.od2rgb(od))
+    assert np.array_equal(
+        ref_misc.get_luminosity_tissue_mask(source.copy(), 0.8),
+        misc.get_luminosity_tissue_mask(source.copy(), 0.8),
+    )
+
+
+def test_io_config_parity() -> None:
+    """scale_to_highest / to_baseline match the reference."""
+    from tiatoolbox.models.engine.io_config import (
+        IOSegmentorConfig as RefIOSeg,
+    )
+
+    from tiatoolbox_tpu.models.engine.io_config import IOSegmentorConfig
+
+    kwargs = dict(
+        input_resolutions=[{"units": "mpp", "resolution": 0.5}],
+        output_resolutions=[{"units": "mpp", "resolution": 1.0}],
+        patch_input_shape=(256, 256),
+        save_resolution={"units": "mpp", "resolution": 2.0},
+    )
+    ref_cfg = RefIOSeg(**kwargs).to_baseline()
+    our_cfg = IOSegmentorConfig(**kwargs).to_baseline()
+    assert [r["resolution"] for r in ref_cfg.input_resolutions] == [
+        r["resolution"] for r in our_cfg.input_resolutions
+    ]
+    assert [r["resolution"] for r in ref_cfg.output_resolutions] == [
+        r["resolution"] for r in our_cfg.output_resolutions
+    ]

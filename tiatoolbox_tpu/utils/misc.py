@@ -127,21 +127,32 @@ def mpp2objective_power(mpp) -> float | np.ndarray:
 
 
 def contrast_enhancer(img: np.ndarray, low_p: int = 2, high_p: int = 98) -> np.ndarray:
-    """Percentile-stretch contrast enhancement on a uint8 image."""
+    """Percentile-stretch contrast enhancement on a uint8 image.
+
+    Matches reference ``utils/misc.py:405-445`` (skimage
+    rescale_intensity semantics incl. the min/max fallback and float
+    truncation to uint8).
+    """
     if img.dtype != np.uint8:
         msg = "Image should be uint8."
         raise AssertionError(msg)
-    img_out = img.copy().astype(float)
+    img_out = img.copy()
     p_low, p_high = np.percentile(img_out, (low_p, high_p))
     if p_low >= p_high:
-        return img_out.astype(np.uint8)
-    img_out = (img_out - p_low) * (255.0 / (p_high - p_low))
-    return np.clip(img_out, 0, 255).astype(np.uint8)
+        p_low, p_high = np.min(img_out), np.max(img_out)
+    if p_high > p_low:
+        clipped = np.clip(img_out.astype(np.float64), p_low, p_high)
+        img_out = (clipped - p_low) / (p_high - p_low) * 255.0
+    return img_out.astype(np.uint8)
 
 
 def get_luminosity_tissue_mask(img: np.ndarray, threshold: float) -> np.ndarray:
-    """Tissue mask from LAB luminosity thresholding (< threshold)."""
+    """Tissue mask from LAB luminosity thresholding (< threshold).
+
+    Applies contrast enhancement first (reference ``misc.py:279-284``).
+    """
     img = img.astype("uint8")
+    img = contrast_enhancer(img, low_p=2, high_p=98)
     img_lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
     l_lab = img_lab[:, :, 0] / 255.0
     tissue_mask = l_lab < threshold
