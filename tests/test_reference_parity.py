@@ -146,3 +146,72 @@ def test_io_config_parity() -> None:
     assert [r["resolution"] for r in ref_cfg.output_resolutions] == [
         r["resolution"] for r in our_cfg.output_resolutions
     ]
+
+
+READ_IMG = np.random.default_rng(0).integers(0, 255, (100, 120, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(bounds=(10, 10, 50, 50)),
+        dict(bounds=(-10, -5, 30, 40)),
+        dict(bounds=(90, 80, 130, 140)),
+        dict(bounds=(-10, -10, 130, 140), pad_mode="reflect"),
+        dict(bounds=(5, 5, 50, 50), padding=3),
+        dict(bounds=(-5, -5, 20, 20), pad_mode="none"),
+    ],
+)
+def test_safe_padded_read_parity(kwargs) -> None:
+    from tiatoolbox.utils import image as ref_image
+
+    from tiatoolbox_tpu.utils import image as our_image
+
+    assert np.array_equal(
+        ref_image.safe_padded_read(READ_IMG, **kwargs),
+        our_image.safe_padded_read(READ_IMG, **kwargs),
+    )
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(bounds=(10, 10, 50, 50), output_size=(40, 40)),
+        dict(bounds=(10.5, 9.3, 50.7, 48.2), output_size=(40, 40)),
+        dict(bounds=(0, 0, 30, 30), output_size=(60, 60)),
+        dict(bounds=(-5, -5, 20, 20), output_size=(25, 25)),
+        dict(bounds=(10, 10, 50, 50), output_size=(40, 40), padding=2),
+        dict(bounds=(10, 10, 50, 50), output_size=(20, 20), interpolation="area"),
+    ],
+)
+def test_sub_pixel_read_parity(kwargs) -> None:
+    from tiatoolbox.utils import image as ref_image
+
+    from tiatoolbox_tpu.utils import image as our_image
+
+    assert np.array_equal(
+        ref_image.sub_pixel_read(READ_IMG, pad_at_baseline=False, **kwargs),
+        our_image.sub_pixel_read(READ_IMG, pad_at_baseline=False, **kwargs),
+    )
+
+
+def test_wsimeta_parity() -> None:
+    from tiatoolbox.wsicore.wsimeta import WSIMeta as RefMeta
+
+    from tiatoolbox_tpu.wsicore.wsimeta import WSIMeta as OurMeta
+
+    kwargs = dict(
+        slide_dimensions=(2048, 1536),
+        axes="YXS",
+        level_dimensions=[(2048, 1536), (1024, 768), (512, 384)],
+        level_downsamples=[1, 2, 4],
+        mpp=(0.5, 0.5),
+        objective_power=20,
+        raw={},
+    )
+    ref_meta = RefMeta(**kwargs)
+    our_meta = OurMeta(**kwargs)
+    for units, res in [("mpp", 0.5), ("power", 10), ("baseline", 0.25), ("level", 1)]:
+        ref_scales = ref_meta.relative_level_scales(res, units)
+        our_scales = our_meta.relative_level_scales(res, units)
+        assert all(np.allclose(a, b) for a, b in zip(ref_scales, our_scales))
