@@ -11,7 +11,6 @@ reference.
 from __future__ import annotations
 
 import math
-import warnings
 
 import cv2
 import flax.linen as nn

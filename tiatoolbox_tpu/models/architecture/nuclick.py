@@ -7,7 +7,6 @@ multiscale dilated conv blocks and conv1+conv2 residual blocks.
 
 from __future__ import annotations
 
-import cv2
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from tiatoolbox_tpu.models.dataset import PatchDataset, WSIPatchDataset
 from tiatoolbox_tpu.models.engine.io_config import ModelIOConfigABC
 from tiatoolbox_tpu.models.models_abc import ModelABC
 from tiatoolbox_tpu.parallel import BatchLoader
-from tiatoolbox_tpu.utils import misc
 
 
 def prepare_engines_save_dir(

@@ -19,7 +19,6 @@ from pathlib import Path
 import numpy as np
 
 from tiatoolbox_tpu import logger
-from tiatoolbox_tpu.models.engine.io_config import IOInstanceSegmentorConfig
 from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
 from tiatoolbox_tpu.parallel import BatchLoader
 from tiatoolbox_tpu.utils.zarrlite import create_smart_array

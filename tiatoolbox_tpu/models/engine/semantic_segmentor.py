@@ -17,7 +17,6 @@ from pathlib import Path
 
 import numpy as np
 
-from tiatoolbox_tpu import logger
 from tiatoolbox_tpu.models.dataset import WSIPatchDataset
 from tiatoolbox_tpu.models.engine.engine_abc import EngineABC
 from tiatoolbox_tpu.models.engine.io_config import IOSegmentorConfig

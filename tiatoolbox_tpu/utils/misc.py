@@ -17,7 +17,6 @@ import cv2
 import numpy as np
 import yaml
 
-from tiatoolbox_tpu import logger
 from tiatoolbox_tpu.utils.exceptions import FileNotSupportedError
 
 

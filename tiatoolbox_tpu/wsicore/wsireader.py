@@ -22,9 +22,7 @@ by the device pipeline.
 
 from __future__ import annotations
 
-import math
 import re
-from numbers import Number
 from pathlib import Path
 
 import cv2
