@@ -62,6 +62,7 @@ def bench_patch_predictor() -> dict:
         ioconfig=ioconfig,
         output_type="dict",
         auto_get_mask=False,
+        verbose=False,
     )
     elapsed = time.perf_counter() - t0
     n_patches = len(next(iter(out.values()))["predictions"])
@@ -99,16 +100,28 @@ def bench_stainnorm() -> dict:
     norm.fit(target)
     consts = norm.prepare_tile_transform(source)
     tiles = np.stack([source] * 256)  # 256 tiles = 12.8 MPix
+
+    # end-to-end (host->HBM + kernel)
     out = norm.transform_tiles(tiles, consts)  # compile warmup
     jax.block_until_ready(out)
-    n_iter = 10
+    n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = norm.transform_tiles(tiles, consts)
     jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    mpix = n_iter * tiles.size / 3 / 1e6
-    return {"mpix_per_sec": mpix / elapsed}
+    e2e = n_iter * tiles.size / 3 / 1e6 / (time.perf_counter() - t0)
+
+    # kernel-only (input resident in HBM)
+    tiles_dev = jax.device_put(tiles)
+    out = norm.transform_tiles(tiles_dev, consts)
+    jax.block_until_ready(out)
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = norm.transform_tiles(tiles_dev, consts)
+    jax.block_until_ready(out)
+    kernel = n_iter * tiles.size / 3 / 1e6 / (time.perf_counter() - t0)
+    return {"mpix_per_sec": e2e, "kernel_mpix_per_sec": kernel}
 
 
 def main() -> None:
@@ -122,6 +135,7 @@ def main() -> None:
         "vs_baseline": round(pp["pps"] / reference_gpu_pps, 3),
         "device_only_patches_per_sec": round(pp["device_only_pps"], 1),
         "stainnorm_mpix_per_sec": round(sn["mpix_per_sec"], 2),
+        "stainnorm_kernel_mpix_per_sec": round(sn["kernel_mpix_per_sec"], 2),
         "n_patches": pp["patches"],
         "wall_seconds": round(pp["seconds"], 2),
     }
