@@ -147,6 +147,8 @@ class TestEngineEquivalence:
             if spill:
                 import tiatoolbox_tpu.utils.zarrlite as zarrlite
 
+                # force the host/zarr canvas path (device canvas off)
+                seg.DEVICE_CANVAS_MAX_PIXELS = 0
                 monkeypatch.setattr(zarrlite, "free_ram_bytes", lambda: 1)
             out = seg.run(
                 [str(slide)],

@@ -235,14 +235,17 @@ def _sql_contains(container, item):
 
 
 def py_is_none(x) -> bool:
+    """True when x is None (python-eval mode helper)."""
     return x is None
 
 
 def py_is_not_none(x) -> bool:
+    """True when x is not None (python-eval mode helper)."""
     return x is not None
 
 
 def py_regexp(pattern, string, flags: int = 0):
+    """First regex match of pattern in string, or None."""
     match = re.compile(pattern, flags=flags).search(string)
     return match[0] if match else None
 

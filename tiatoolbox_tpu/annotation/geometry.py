@@ -109,6 +109,8 @@ class Geometry:
 
 
 class Point(Geometry):
+    """A 2-D point."""
+
     geom_type = "Point"
 
     def __init__(self, x, y=None) -> None:
@@ -140,6 +142,8 @@ class Point(Geometry):
 
 
 class LineString(Geometry):
+    """An open polyline of 2-D points."""
+
     geom_type = "LineString"
 
     def __init__(self, coords) -> None:
@@ -192,6 +196,8 @@ class LineString(Geometry):
 
 
 class Polygon(Geometry):
+    """A polygon with an exterior shell and optional holes."""
+
     geom_type = "Polygon"
 
     def __init__(self, shell, holes=None) -> None:
@@ -333,18 +339,24 @@ class _Multi(Geometry):
 
 
 class MultiPoint(_Multi):
+    """A collection of points."""
+
     geom_type = "MultiPoint"
     member_type = Point
     wkb_code = WKB_MULTIPOINT
 
 
 class MultiLineString(_Multi):
+    """A collection of polylines."""
+
     geom_type = "MultiLineString"
     member_type = LineString
     wkb_code = WKB_MULTILINESTRING
 
 
 class MultiPolygon(_Multi):
+    """A collection of polygons."""
+
     geom_type = "MultiPolygon"
     member_type = Polygon
     wkb_code = WKB_MULTIPOLYGON

@@ -372,6 +372,7 @@ def version() -> None:
 
 
 def main() -> None:
+    """CLI entry point."""
     tiatoolbox_cli()
 
 

@@ -18,14 +18,17 @@ class TIAToolboxCLI(click.Group):
 
 
 def cli_img_input(usage_help: str = "Path to WSI or image file."):
+    """Shared --img-input option."""
     return click.option("--img-input", help=usage_help, type=str)
 
 
 def cli_output_path(usage_help: str = "Path to output directory.", default=None):
+    """Shared --output-path option."""
     return click.option("--output-path", help=usage_help, default=default, type=str)
 
 
 def cli_file_type(default: str = "*.svs, *.tiff, *.tif, *.png, *.jpg"):
+    """Shared --file-type option."""
     return click.option(
         "--file-types",
         help="File types to process (comma separated).",
@@ -35,6 +38,7 @@ def cli_file_type(default: str = "*.svs, *.tiff, *.tif, *.png, *.jpg"):
 
 
 def cli_mode(default: str = "wsi"):
+    """Shared --mode option."""
     return click.option(
         "--mode",
         help="'wsi' or 'tile' processing mode.",
@@ -44,10 +48,12 @@ def cli_mode(default: str = "wsi"):
 
 
 def cli_resolution(default: float = 0):
+    """Shared --resolution option."""
     return click.option("--resolution", default=default, type=float)
 
 
 def cli_units(default: str = "level"):
+    """Shared --units option."""
     return click.option(
         "--units",
         default=default,
@@ -56,10 +62,12 @@ def cli_units(default: str = "level"):
 
 
 def cli_batch_size(default: int = 16):
+    """Shared --batch-size option."""
     return click.option("--batch-size", default=default, type=int)
 
 
 def cli_pretrained_model(default: str = "resnet18-kather100k"):
+    """Shared --pretrained-model option."""
     return click.option(
         "--pretrained-model",
         default=default,
@@ -68,6 +76,7 @@ def cli_pretrained_model(default: str = "resnet18-kather100k"):
 
 
 def cli_pretrained_weights(default=None):
+    """Shared --pretrained-weights option."""
     return click.option(
         "--pretrained-weights",
         default=default,
@@ -76,10 +85,12 @@ def cli_pretrained_weights(default=None):
 
 
 def cli_masks(default=None):
+    """Shared --masks option."""
     return click.option("--masks", default=default, type=str)
 
 
 def cli_output_type(default: str = "zarr"):
+    """Shared --output-type option."""
     return click.option(
         "--output-type",
         default=default,
@@ -88,6 +99,7 @@ def cli_output_type(default: str = "zarr"):
 
 
 def cli_verbose(default: bool = True):
+    """Shared --verbose option."""
     return click.option("--verbose/--quiet", default=default)
 
 

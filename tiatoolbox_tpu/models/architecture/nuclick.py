@@ -33,6 +33,8 @@ class _BN(nn.Module):
 
 
 class ConvBnRelu(nn.Module):
+    """Conv + optional inference-BN + optional ReLU (SAME padding)."""
+
     out_ch: int
     kernel: int = 3
     dilation: int = 1

@@ -33,6 +33,7 @@ class _BN(nn.Module):
 
 
 def conv3x3(features: int, stride: int = 1, groups: int = 1, name=None) -> nn.Conv:
+    """3x3 conv, pad 1, no bias (torchvision conv3x3)."""
     return nn.Conv(
         features,
         (3, 3),
@@ -45,6 +46,7 @@ def conv3x3(features: int, stride: int = 1, groups: int = 1, name=None) -> nn.Co
 
 
 def conv1x1(features: int, stride: int = 1, name=None) -> nn.Conv:
+    """1x1 conv, no bias (torchvision conv1x1)."""
     return nn.Conv(
         features,
         (1, 1),

@@ -121,6 +121,15 @@ class SemanticSegmentor(EngineABC):
         coord_scale = np.array(canvas_wh, dtype=float) / read_wh
 
         n_channels = self._infer_output_channels(dataset)
+
+        # Device-resident stitching when the canvas comfortably fits HBM
+        # and the grid is uniform (one scatter program, no host copies
+        # of probability patches).
+        if self._can_use_device_canvas(dataset, canvas_wh, n_channels, coord_scale):
+            return self._infer_wsi_device_canvas(
+                dataloader, canvas_wh, n_channels, coord_scale
+            )
+
         canvas = create_smart_array(
             (canvas_wh[1], canvas_wh[0], n_channels),
             np.float32,
@@ -175,6 +184,51 @@ class SemanticSegmentor(EngineABC):
             canvas[y0:y1] = c / np.maximum(n, 1.0)
 
         return {"probabilities": canvas}
+
+    # device-canvas threshold: canvas + count must stay well under HBM
+    DEVICE_CANVAS_MAX_PIXELS = 3000 * 3000
+
+    def _can_use_device_canvas(
+        self, dataset, canvas_wh, n_channels: int, coord_scale
+    ) -> bool:
+        if getattr(self.model, "mesh", None) is not None:
+            return False  # dp runs keep host stitching for now
+        n_pixels = int(canvas_wh[0]) * int(canvas_wh[1])
+        if n_pixels * (n_channels + 1) * 4 > self.DEVICE_CANVAS_MAX_PIXELS * 16:
+            return False
+        # uniform grid: every output cell must equal the model's output
+        # patch size in canvas space (no per-patch resize)
+        sample = dataset[0]["image"]
+        probe = self.model.infer_batch(self.model, sample[None], self.device)
+        probe = np.asarray(probe)
+        cells = dataset.outputs
+        sizes = np.unique(
+            (cells[:, 2:] - cells[:, :2]).astype(float) * coord_scale, axis=0
+        )
+        if len(sizes) != 1:
+            return False
+        return tuple(np.round(sizes[0]).astype(int)[::-1]) == probe.shape[1:3]
+
+    def _infer_wsi_device_canvas(
+        self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale
+    ) -> dict:
+        """Stitch on device: scatter-accumulate each batch in HBM."""
+        from tiatoolbox_tpu.ops.canvas import DeviceCanvas
+
+        dataset = dataloader.dataset
+        outputs_arr = dataset.outputs
+        canvas = DeviceCanvas((int(canvas_wh[1]), int(canvas_wh[0])), n_channels)
+        for batch in dataloader:
+            probs = self.model.infer_batch_device(
+                self.model, batch["image"], self.device
+            )
+            n_valid = batch["n_valid"]
+            indices = batch["indices"]
+            coords = outputs_arr[indices].astype(float) * np.tile(coord_scale, 2)
+            positions = np.round(coords[:, [1, 0]]).astype(np.int32)  # (y, x)
+            valid = np.arange(len(indices)) < n_valid
+            canvas.add(probs, positions, valid)
+        return {"probabilities": np.asarray(canvas.normalized())}
 
     def _infer_output_channels(self, dataset: WSIPatchDataset) -> int:
         """Probe the model with one patch to learn output channel count."""
