@@ -78,7 +78,17 @@ def get_pretrained_model(
 
     arch_cfg = cfg["architecture"]
     arch_cls = _locate_arch_class(arch_cfg["class"])
-    model = arch_cls(**arch_cfg.get("kwargs", {}))
+    # default compute dtype: bfloat16 on TPU (MXU throughput), f32 else
+    compute = rcParam.get("compute_dtype", "auto")
+    kwargs = dict(arch_cfg.get("kwargs", {}))
+    if compute == "auto":
+        import jax
+
+        if any(d.platform in ("tpu", "axon") for d in jax.devices()):
+            kwargs.setdefault("compute_dtype", jnp.bfloat16)
+    elif compute:
+        kwargs.setdefault("compute_dtype", jnp.dtype(compute))
+    model = arch_cls(**kwargs)
 
     if pretrained_weights is None:
         pretrained_weights = fetch_pretrained_weights(pretrained_model)

@@ -163,3 +163,19 @@ def verify_against_torch(model, torch_model, input_shape=(2, 64, 64, 3), atol=1e
         msg = f"Output shape mismatch: {flax_out.shape} vs {torch_out.shape}"
         raise ValueError(msg)
     return float(np.abs(flax_out - torch_out).max())
+
+
+def save_orbax(variables: dict, path) -> None:
+    """Persist a flax variables tree as an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(str(Path(path).absolute()), variables)
+
+
+def load_orbax(path) -> dict:
+    """Load a flax variables tree from an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    return checkpointer.restore(str(Path(path).absolute()))
