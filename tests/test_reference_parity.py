@@ -215,3 +215,118 @@ def test_wsimeta_parity() -> None:
         ref_scales = ref_meta.relative_level_scales(res, units)
         our_scales = our_meta.relative_level_scales(res, units)
         assert all(np.allclose(a, b) for a, b in zip(ref_scales, our_scales))
+
+
+def _randomize_bn(torch_model) -> None:
+    import torch
+
+    with torch.no_grad():
+        for module in torch_model.modules():
+            if isinstance(module, torch.nn.BatchNorm2d):
+                module.running_mean.normal_(0, 0.3)
+                module.running_var.uniform_(0.7, 1.3)
+
+
+def _forward_pair(ref_model, our_model, x):
+    import torch
+
+    ref_model.eval()
+    with torch.inference_mode():
+        t_out = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    f_out = our_model.forward(np.asarray(x))
+    return t_out, f_out
+
+
+class TestArchitectureWeightParity:
+    """Converted reference torch weights reproduce forwards exactly."""
+
+    def test_sccnn(self) -> None:
+        import torch
+
+        from tiatoolbox.models.architecture.sccnn import SCCNN as RefSCCNN
+
+        from tiatoolbox_tpu.models.architecture.sccnn import SCCNN
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_sccnn_to_flax,
+        )
+
+        torch.manual_seed(0)
+        ref = RefSCCNN()
+        ours = SCCNN()
+        ours.load_weights(
+            torch_sccnn_to_flax({k: v for k, v in ref.state_dict().items()})
+        )
+        x = np.random.default_rng(0).random((1, 31, 31, 3)).astype(np.float32)
+        t_out, f_out = _forward_pair(ref, ours, x)
+        assert np.abs(
+            t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
+        ).max() < 1e-5
+
+    def test_nuclick(self) -> None:
+        import torch
+
+        from tiatoolbox.models.architecture.nuclick import NuClick as RefNuClick
+
+        from tiatoolbox_tpu.models.architecture.nuclick import NuClick
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_nuclick_to_flax,
+        )
+
+        torch.manual_seed(0)
+        ref = RefNuClick(5, 1)
+        _randomize_bn(ref)
+        ours = NuClick(5, 1)
+        ours.load_weights(
+            torch_nuclick_to_flax({k: v for k, v in ref.state_dict().items()})
+        )
+        x = np.random.default_rng(0).random((1, 64, 64, 5)).astype(np.float32)
+        t_out, f_out = _forward_pair(ref, ours, x)
+        assert np.abs(
+            t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
+        ).max() < 1e-4
+
+    def test_micronet_bicubic(self) -> None:
+        """torch-matched bicubic resize (a=-0.75) used by MicroNet."""
+        import torch
+        import torch.nn.functional as F
+
+        from tiatoolbox_tpu.models.architecture.micronet import (
+            _torch_bicubic_resize,
+        )
+
+        x = np.random.default_rng(0).random((1, 100, 100, 3)).astype(np.float32)
+        t_out = F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(32, 32), mode="bicubic"
+        ).numpy().transpose(0, 2, 3, 1)
+        f_out = np.asarray(_torch_bicubic_resize(np.asarray(x), 32))
+        assert np.abs(t_out - f_out).max() < 1e-5
+
+    def test_hovernet(self) -> None:
+        import torch
+
+        from tiatoolbox.models.architecture.hovernet import HoVerNet as RefHoVerNet
+
+        from tiatoolbox_tpu.models.architecture.hovernet import HoVerNet
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_hovernet_to_flax,
+        )
+
+        torch.manual_seed(0)
+        ref = RefHoVerNet(num_types=6, mode="fast")
+        _randomize_bn(ref)
+        ours = HoVerNet(num_types=6, mode="fast")
+        ours.load_weights(
+            torch_hovernet_to_flax({k: v for k, v in ref.state_dict().items()})
+        )
+        x = (
+            np.random.default_rng(0)
+            .integers(0, 255, (1, 256, 256, 3))
+            .astype(np.float32)
+        )
+        t_out, f_out = _forward_pair(ref, ours, x)
+        for branch in ("np", "hv", "tp"):
+            diff = np.abs(
+                t_out[branch].numpy().transpose(0, 2, 3, 1)
+                - np.asarray(f_out[branch])
+            ).max()
+            assert diff < 1e-4, branch

@@ -45,6 +45,44 @@ def _convT(features, ksize, stride, name):
     )
 
 
+def _cubic_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] interpolation matrix matching torch bicubic (a=-0.75).
+
+    torch ``F.interpolate(mode="bicubic", align_corners=False)``:
+    source coordinate = (i + 0.5) * scale - 0.5, 4-tap cubic
+    convolution kernel with a = -0.75, edge taps clamped.
+    """
+    a = -0.75
+
+    def kernel(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1,
+            (a + 2) * x**3 - (a + 3) * x**2 + 1,
+            np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+        )
+
+    scale = in_size / out_size
+    weights = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        base = int(np.floor(src))
+        for tap in range(-1, 3):
+            idx = base + tap
+            w = kernel(src - idx)
+            weights[i, min(max(idx, 0), in_size - 1)] += w
+    return weights
+
+
+def _torch_bicubic_resize(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """NHWC resize to (size, size) matching torch bicubic numerics."""
+    n, h, w, c = img.shape
+    wy = jnp.asarray(_cubic_weights(h, size))
+    wx = jnp.asarray(_cubic_weights(w, size))
+    out = jnp.einsum("oh,nhwc->nowc", wy, img)
+    return jnp.einsum("ow,nhwc->nhoc", wx, out)
+
+
 class _Group1(nn.Module):
     """Down branch: two tanh convs + pool, fused with resized-input convs."""
 
@@ -91,8 +129,7 @@ class _MicroNetNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         def resize_to(img, size):
-            n, _, _, c = img.shape
-            return jax.image.resize(img, (n, size, size, c), method="cubic")
+            return _torch_bicubic_resize(img, size)
 
         b1 = _Group1(64, name="b1")(x, resize_to(x, 128))
         b2 = _Group1(128, name="b2")(b1, resize_to(x, 64))

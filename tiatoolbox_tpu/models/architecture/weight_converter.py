@@ -124,11 +124,30 @@ def load_flax_npz(path: str | Path) -> dict:
     return tree
 
 
+def convert_for_model(model, state_dict: dict) -> dict:
+    """Pick the torch→flax converter matching the model architecture."""
+    cls_name = type(model).__name__
+    if cls_name in ("HoVerNet", "HoVerNetPlus"):
+        return torch_hovernet_to_flax(state_dict)
+    if cls_name == "SCCNN":
+        return torch_sccnn_to_flax(state_dict)
+    if cls_name == "MicroNet":
+        return torch_micronet_to_flax(state_dict)
+    if cls_name == "MapDe":
+        return torch_mapde_to_flax(state_dict)
+    if cls_name == "NuClick":
+        return torch_nuclick_to_flax(state_dict)
+    return torch_resnet_to_flax(state_dict)
+
+
 def load_weights_into(model, path: str | Path) -> None:
     """Load .npz (flax) or .pth/.tar (torch) weights into a model wrapper."""
     path = Path(path)
     if path.suffix == ".npz":
         model.load_weights(load_flax_npz(path))
+        return
+    if path.is_dir():  # orbax checkpoint
+        model.load_weights(load_orbax(path))
         return
     import torch
 
@@ -138,7 +157,7 @@ def load_weights_into(model, path: str | Path) -> None:
     if isinstance(checkpoint, dict) and "state_dict" in checkpoint:
         checkpoint = checkpoint["state_dict"]
     state_dict = {k: v.numpy() for k, v in checkpoint.items()}
-    model.load_weights(torch_resnet_to_flax(state_dict))
+    model.load_weights(convert_for_model(model, state_dict))
 
 
 def verify_against_torch(model, torch_model, input_shape=(2, 64, 64, 3), atol=1e-4):
@@ -179,3 +198,289 @@ def load_orbax(path) -> dict:
 
     checkpointer = ocp.PyTreeCheckpointer()
     return checkpointer.restore(str(Path(path).absolute()))
+
+
+def torch_hovernet_to_flax(state_dict: dict) -> dict:
+    """Convert a reference HoVerNet(+) torch state_dict to flax variables.
+
+    Handles the reference naming (``hovernet.py``): Sequential keys with
+    "/" separators (``conv0./.weight``, ``d0.units.0.conv1/bn.weight``),
+    decoder branch dicts (``decoder.np.u3.dense.units.k...``), and the
+    HoVerNetPlus ``ls`` branch.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    def bn_leaf(leaf):
+        return {
+            "weight": ("params", "scale"),
+            "bias": ("params", "bias"),
+            "running_mean": ("batch_stats", "mean"),
+            "running_var": ("batch_stats", "var"),
+        }.get(leaf)
+
+    def store(module_path, leaf, value, *, is_bn):
+        if is_bn:
+            mapped = bn_leaf(leaf)
+            if mapped is None:
+                return
+            collection, name = mapped
+            put(params if collection == "params" else batch_stats,
+                [*module_path, name], value)
+        elif leaf == "weight":
+            put(params, [*module_path, "kernel"], _conv_kernel(value))
+        elif leaf == "bias":
+            put(params, [*module_path, "bias"], value)
+
+    for torch_key, tensor in state_dict.items():
+        if "num_batches_tracked" in torch_key or torch_key == "upsample2x.unpool_mat":
+            continue
+        value = np.asarray(tensor)
+        parts = torch_key.split(".")
+
+        if parts[0] == "conv0":
+            # conv0./.weight | conv0.bn.{...}
+            if parts[1] == "/":
+                store(["conv0"], parts[-1], value, is_bn=False)
+            elif parts[1] == "bn":
+                store(["bn0"], parts[-1], value, is_bn=True)
+            continue
+
+        if parts[0] in ("d0", "d1", "d2", "d3"):
+            stage = parts[0]
+            if parts[1] == "shortcut":
+                store([stage, "shortcut"], parts[-1], value, is_bn=False)
+            elif parts[1] == "blk_bna":
+                store([stage, "blk_bn"], parts[-1], value, is_bn=True)
+            elif parts[1] == "units":
+                j = parts[2]
+                sub = parts[3]  # e.g. conv1, conv1/bn, preact/bn, conv2, conv3
+                leaf = parts[-1]
+                if sub == "preact/bn":
+                    store([stage, f"u{j}_preact_bn"], leaf, value, is_bn=True)
+                elif sub.endswith("/bn"):
+                    conv = sub.split("/")[0]  # conv1 / conv2
+                    store([stage, f"u{j}_bn{conv[-1]}"], leaf, value, is_bn=True)
+                else:
+                    store([stage, f"u{j}_{sub}"], leaf, value, is_bn=False)
+            continue
+
+        if parts[0] == "conv_bot":
+            store(["conv_bot"], parts[-1], value, is_bn=False)
+            continue
+
+        if parts[0] == "decoder":
+            branch = parts[1]  # np / hv / tp / ls
+            stage = parts[2]  # u3 / u2 / u1 / u0
+            leaf = parts[-1]
+            if stage in ("u3", "u2"):
+                sub = parts[3]  # conva / dense / convf
+                if sub in ("conva", "convf"):
+                    store([branch, f"{stage}_{sub}"], leaf, value, is_bn=False)
+                elif sub == "dense":
+                    if parts[4] == "blk_bna":
+                        store([branch, f"{stage}_dense", "blk_bn"], leaf, value, is_bn=True)
+                    elif parts[4] == "units":
+                        k = parts[5]
+                        sub2 = parts[6]
+                        if sub2 == "preact_bna/bn":
+                            store([branch, f"{stage}_dense", f"u{k}_preact_bn"], leaf, value, is_bn=True)
+                        elif sub2.endswith("/bn"):
+                            conv = sub2.split("/")[0]
+                            store([branch, f"{stage}_dense", f"u{k}_bn{conv[-1]}"], leaf, value, is_bn=True)
+                        else:
+                            store([branch, f"{stage}_dense", f"u{k}_{sub2}"], leaf, value, is_bn=False)
+            elif stage == "u1":
+                store([branch, "u1_conva"], leaf, value, is_bn=False)
+            elif stage == "u0":
+                sub = parts[3]  # bn / conv
+                if sub == "bn":
+                    store([branch, "u0_bn"], leaf, value, is_bn=True)
+                else:
+                    store([branch, "u0_conv"], leaf, value, is_bn=False)
+            continue
+
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def _convT_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d IOHW → flax ConvTranspose HWIO.
+
+    flax's ``nn.ConvTranspose`` applies the kernel un-flipped
+    (``lax.conv_transpose``), torch applies it flipped — so the spatial
+    dims are reversed here (verified exact on k=2 s=2).
+    """
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def torch_sccnn_to_flax(state_dict: dict) -> dict:
+    """Convert a reference SCCNN torch state_dict to flax variables."""
+    params: dict = {}
+    for key, tensor in state_dict.items():
+        if key in ("xv", "yv"):
+            continue
+        value = np.asarray(tensor)
+        layer = key.split(".")[1]  # l1..l5 / sc
+        leaf = key.split(".")[-1]
+        target = params.setdefault(layer, {})
+        if leaf == "weight":
+            target["kernel"] = _conv_kernel(value)
+        else:
+            target["bias"] = value
+    return {"params": params}
+
+
+def torch_micronet_to_flax(state_dict: dict) -> dict:  # noqa: C901, PLR0912
+    """Convert a reference MicroNet/MapDe-trunk torch state_dict to flax.
+
+    Reference naming: ``layer.b1.conv1.0.weight`` (conv),
+    ``layer.b1.conv1.2.*`` (bn after tanh), group3 ``up1/up2/up3``
+    transpose convs, fm/out/aux heads.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    for key, tensor in state_dict.items():
+        if "num_batches_tracked" in key:
+            continue
+        value = np.asarray(tensor)
+        parts = key.split(".")
+        if parts[0] != "layer":
+            continue
+        block, sub = parts[1], parts[2]
+        idx = parts[3] if len(parts) > 4 else None
+        leaf = parts[-1]
+
+        if block in ("b1", "b2", "b3", "b4"):  # group1: conv1..conv4 + bn
+            conv = sub  # conv1..conv4
+            if idx == "0":  # conv layer
+                put(params, [block, conv, "kernel" if leaf == "weight" else "bias"],
+                    _conv_kernel(value) if leaf == "weight" else value)
+            elif idx == "2":  # batchnorm (only after conv1 / conv3)
+                bn = {"conv1": "bn1", "conv3": "bn3"}[conv]
+                if leaf in ("weight", "bias"):
+                    put(params, [block, bn, "scale" if leaf == "weight" else "bias"], value)
+                else:
+                    put(batch_stats, [block, bn,
+                        "mean" if leaf == "running_mean" else "var"], value)
+        elif block == "b5":  # group2: conv1, conv2
+            if idx == "0":
+                put(params, [f"b5_{sub}", "kernel" if leaf == "weight" else "bias"],
+                    _conv_kernel(value) if leaf == "weight" else value)
+        elif block in ("b6", "b7", "b8", "b9"):  # group3
+            if sub in ("up1", "up2", "up3"):
+                put(params, [block, sub, "kernel" if leaf == "weight" else "bias"],
+                    _convT_kernel(value) if leaf == "weight" else value)
+            elif idx == "0":
+                put(params, [block, sub, "kernel" if leaf == "weight" else "bias"],
+                    _conv_kernel(value) if leaf == "weight" else value)
+        elif block in ("fm1", "fm2", "fm3"):  # group4
+            if sub == "up1":
+                put(params, [f"{block}_up1", "kernel" if leaf == "weight" else "bias"],
+                    _convT_kernel(value) if leaf == "weight" else value)
+            elif idx == "0":
+                put(params, [f"{block}_conv1", "kernel" if leaf == "weight" else "bias"],
+                    _conv_kernel(value) if leaf == "weight" else value)
+        elif block in ("aux_out1", "aux_out2", "aux_out3", "out"):
+            # Sequential: 0 dropout, 1 conv, 2 act → key layer.out.1.weight
+            if sub == "1":
+                put(params, [f"{block}_conv", "kernel" if leaf == "weight" else "bias"],
+                    _conv_kernel(value) if leaf == "weight" else value)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def torch_nuclick_to_flax(state_dict: dict) -> dict:  # noqa: C901
+    """Convert a reference NuClick torch state_dict to flax variables."""
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    # reference module attr → (my module prefix, members per seq index)
+    res_seq = {
+        "residual_block_1": ("rb1", 2), "residual_block_4": ("rb4", 3),
+        "residual_block_5": ("rb5", 3), "residual_block_6": ("rb6", 2),
+        "residual_block_7": ("rb7", 2), "residual_block_10": ("rb10", 2),
+    }
+    res_single = {
+        "residual_block_2": "rb2", "residual_block_3": "rb3",
+        "residual_block_8": "rb8", "residual_block_9": "rb9",
+        "residual_block_11": "rb11", "residual_block_12": "rb12",
+    }
+    ms = {"multiscale_block_1": "ms1", "multiscale_block_2": "ms2",
+          "multiscale_block_3": "ms3"}
+    convT = {"conv_transpose_1": "ct1", "conv_transpose_2": "ct2",
+             "conv_transpose_3": "ct3", "conv_transpose_4": "ct4",
+             "conv_transpose_5": "ct5"}
+
+    def store_cbr(path, seq_idx, leaf, value):
+        """conv_bn_relu Sequential: 0 conv, 1 bn."""
+        if seq_idx == "0":
+            put(params, [*path, "conv",
+                "kernel" if leaf == "weight" else "bias"],
+                _conv_kernel(value) if leaf == "weight" else value)
+        elif seq_idx == "1":
+            if leaf in ("weight", "bias"):
+                put(params, [*path, "bn", "scale" if leaf == "weight" else "bias"], value)
+            else:
+                put(batch_stats, [*path, "bn",
+                    "mean" if leaf == "running_mean" else "var"], value)
+
+    for key, tensor in state_dict.items():
+        if "num_batches_tracked" in key:
+            continue
+        value = np.asarray(tensor)
+        parts = key.split(".")
+        head = parts[0]
+        leaf = parts[-1]
+        if head in ("conv_block_1", "conv_block_2"):
+            block = "cb1" if head == "conv_block_1" else "cb2"
+            member = parts[1]  # 0/1/2 within Sequential of ConvBnRelu
+            store_cbr([f"{block}_{member}"], parts[3], leaf, value)
+        elif head == "conv_block_3":
+            store_cbr(["cb3"], parts[2], leaf, value)
+        elif head in res_seq:
+            prefix, _ = res_seq[head]
+            member = parts[1]
+            cblock = parts[2]  # conv_block_1 / conv_block_2
+            cname = "c1" if cblock == "conv_block_1" else "c2"
+            store_cbr([f"{prefix}_{member}", cname], parts[4], leaf, value)
+        elif head in res_single:
+            cblock = parts[1]
+            cname = "c1" if cblock == "conv_block_1" else "c2"
+            store_cbr([res_single[head], cname], parts[3], leaf, value)
+        elif head in ms:
+            branch = parts[1]  # conv_block_1..4
+            b = f"b{int(branch.split('_')[-1]) - 1}"
+            store_cbr([ms[head], b], parts[3], leaf, value)
+        elif head in convT:
+            put(params, [convT[head], "kernel" if leaf == "weight" else "bias"],
+                _convT_kernel(value) if leaf == "weight" else value)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def torch_mapde_to_flax(state_dict: dict) -> dict:
+    """Convert a reference MapDe state_dict (MicroNet trunk under "trunk")."""
+    trunk = torch_micronet_to_flax(
+        {k: v for k, v in state_dict.items() if k != "dist_filter"}
+    )
+    return {
+        "params": {"trunk": trunk["params"]},
+        "batch_stats": {"trunk": trunk["batch_stats"]},
+    }
