@@ -330,3 +330,32 @@ class TestArchitectureWeightParity:
                 - np.asarray(f_out[branch])
             ).max()
             assert diff < 1e-4, branch
+
+    def test_unet_unet_encoder(self) -> None:
+        import torch
+
+        from tiatoolbox.models.architecture.unet import UNetModel as RefUNet
+
+        from tiatoolbox_tpu.models.architecture.unet import UNetModel
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_unet_to_flax,
+        )
+
+        torch.manual_seed(0)
+        ref = RefUNet(
+            num_input_channels=3, num_output_channels=2,
+            encoder="unet", encoder_levels=[32, 64, 128],
+        )
+        _randomize_bn(ref)
+        ours = UNetModel(
+            num_input_channels=3, num_output_channels=2,
+            encoder="unet", encoder_levels=[32, 64, 128],
+        )
+        ours.load_weights(
+            torch_unet_to_flax({k: v for k, v in ref.state_dict().items()})
+        )
+        x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32) * 255
+        t_out, f_out = _forward_pair(ref, ours, x)
+        assert np.abs(
+            t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
+        ).max() < 1e-4

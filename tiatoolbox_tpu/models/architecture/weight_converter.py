@@ -137,6 +137,8 @@ def convert_for_model(model, state_dict: dict) -> dict:
         return torch_mapde_to_flax(state_dict)
     if cls_name == "NuClick":
         return torch_nuclick_to_flax(state_dict)
+    if cls_name == "UNetModel":
+        return torch_unet_to_flax(state_dict)
     return torch_resnet_to_flax(state_dict)
 
 
@@ -484,3 +486,80 @@ def torch_mapde_to_flax(state_dict: dict) -> dict:
         "params": {"trunk": trunk["params"]},
         "batch_stats": {"trunk": trunk["batch_stats"]},
     }
+
+
+def torch_unet_to_flax(state_dict: dict) -> dict:  # noqa: C901
+    """Convert a reference UNetModel torch state_dict to flax variables.
+
+    Handles both encoders: "unet" (backbone.blocks.L.0.{seq}) and
+    "resnet50" (backbone.{conv1,bn1,layerL.B...}), plus the decoder
+    (uplist.N.{seq}, conv/bn order depends on pre-activation) and clf.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    def store_conv(path, leaf, value):
+        put(params, [*path, "kernel" if leaf == "weight" else "bias"],
+            _conv_kernel(value) if leaf == "weight" else value)
+
+    def store_bn(path, leaf, value):
+        if leaf in ("weight", "bias"):
+            put(params, [*path, "scale" if leaf == "weight" else "bias"], value)
+        else:
+            put(batch_stats, [*path, "mean" if leaf == "running_mean" else "var"],
+                value)
+
+    # decoder pre-activation? bn first in each uplist block
+    pre_activation = any(
+        k.startswith("uplist.0.0.running_mean") for k in state_dict
+    )
+
+    for key, tensor in state_dict.items():
+        if "num_batches_tracked" in key or key == "upsample2x.unpool_mat":
+            continue
+        value = np.asarray(tensor)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "backbone":
+            if parts[1] == "blocks":  # unet encoder
+                level = parts[2]
+                seq = int(parts[4])
+                conv_idx = seq // 3
+                if seq % 3 == 0:  # conv
+                    store_conv(["backbone", f"block{level}_conv{conv_idx}"], leaf, value)
+                else:  # bn
+                    store_bn(["backbone", f"block{level}_bn{conv_idx}"], leaf, value)
+            else:  # resnet50 encoder (torchvision naming)
+                sub = ".".join(parts[1:])
+                converted = torch_resnet_to_flax({sub: value}, backbone_name="backbone")
+                for coll, tree in (("params", params), ("batch_stats", batch_stats)):
+                    def merge(dst, src):
+                        for k, v in src.items():
+                            if isinstance(v, dict):
+                                merge(dst.setdefault(k, {}), v)
+                            else:
+                                dst[k] = v
+                    merge(tree, converted[coll])
+        elif parts[0] == "conv1x1":
+            store_conv(["conv1x1"], leaf, value)
+        elif parts[0] == "uplist":
+            block = parts[1]
+            seq = int(parts[2])
+            conv_idx = seq // 3
+            if pre_activation:
+                is_conv = seq % 3 == 2
+            else:
+                is_conv = seq % 3 == 0
+            if is_conv:
+                store_conv([f"up{block}", f"conv{conv_idx}"], leaf, value)
+            else:
+                store_bn([f"up{block}", f"bn{conv_idx}"], leaf, value)
+        elif parts[0] == "clf":
+            store_conv(["clf"], leaf, value)
+    return {"params": params, "batch_stats": batch_stats}
