@@ -359,3 +359,65 @@ class TestArchitectureWeightParity:
         assert np.abs(
             t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
         ).max() < 1e-4
+
+    def test_hovernet_proc_np_hv(self) -> None:
+        """Watershed postproc yields identical instance partitions.
+
+        The stubbed skimage functions are shimmed with this package's
+        equivalents, so this validates the Sobel-energy/marker/
+        morphology logic around the watershed core.
+        """
+        import importlib
+
+        from tiatoolbox_tpu.models.architecture.hovernet import (
+            HoVerNet,
+            _remove_small_objects,
+            _watershed,
+        )
+
+        morph = importlib.import_module("skimage.morphology")
+        seg_mod = importlib.import_module("skimage.segmentation")
+
+        def remove_small_objects(ar, max_size=None, min_size=None, **_kwargs):
+            threshold = (max_size + 1) if max_size is not None else min_size
+            if ar.dtype == bool:
+                from scipy import ndimage
+
+                labelled = ndimage.label(ar)[0]
+                return _remove_small_objects(labelled, threshold) > 0
+            return _remove_small_objects(ar, threshold)
+
+        morph.remove_small_objects = remove_small_objects
+        seg_mod.watershed = lambda image, markers=None, mask=None: _watershed(
+            image, markers, mask
+        )
+        # the reference module may already be imported with the bare
+        # stubs bound via from-imports; patch its globals too
+        import tiatoolbox.models.architecture.hovernet as ref_hn_module
+
+        ref_hn_module.remove_small_objects = remove_small_objects
+        ref_hn_module.watershed = seg_mod.watershed
+        from tiatoolbox.models.architecture.hovernet import HoVerNet as RefHN
+
+        np_map = np.zeros((128, 128, 1), np.float32)
+        hv = np.zeros((128, 128, 2), np.float32)
+        yy, xx = np.mgrid[0:128, 0:128]
+        for cx, cy, r in [(30, 30, 13), (60, 64, 11), (95, 40, 9), (80, 100, 12)]:
+            blob = np.hypot(xx - cx, yy - cy) < r
+            np_map[..., 0][blob] = 0.95
+            hv[..., 0][blob] = ((xx - cx) / r)[blob]
+            hv[..., 1][blob] = ((yy - cy) / r)[blob]
+        ref_inst = RefHN._proc_np_hv(np_map, hv)
+        our_inst = HoVerNet._proc_np_hv(np_map, hv)
+
+        def canon(mask):
+            out = np.zeros_like(mask)
+            seen: dict = {}
+            for v in mask.ravel():
+                if v != 0 and v not in seen:
+                    seen[v] = len(seen) + 1
+            for old, new in seen.items():
+                out[mask == old] = new
+            return out
+
+        assert np.array_equal(canon(ref_inst), canon(our_inst))
