@@ -421,3 +421,35 @@ class TestArchitectureWeightParity:
             return out
 
         assert np.array_equal(canon(ref_inst), canon(our_inst))
+
+    def test_unet_resnet50_encoder(self) -> None:
+        """Bottleneck ResNet encoder parity (fcn-tissue_mask path)."""
+        import torch
+        from torch_ref import TorchResNetEncoder
+
+        from tiatoolbox_tpu.models.architecture.unet import ResNetEncoder
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_resnet_to_flax,
+        )
+
+        torch.manual_seed(0)
+        ref = TorchResNetEncoder()
+        _randomize_bn(ref)
+        ref.eval()
+        variables = torch_resnet_to_flax(
+            {k: v.numpy() for k, v in ref.state_dict().items()},
+            backbone_name="enc",
+        )
+        variables = {
+            "params": variables["params"]["enc"],
+            "batch_stats": variables["batch_stats"]["enc"],
+        }
+        module = ResNetEncoder(layers=(3, 4, 6, 3))
+        x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+        with torch.inference_mode():
+            t_feats = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        f_feats = module.apply(variables, np.asarray(x))
+        for t_f, f_f in zip(t_feats, f_feats):
+            assert np.abs(
+                t_f.numpy().transpose(0, 2, 3, 1) - np.asarray(f_f)
+            ).max() < 1e-4

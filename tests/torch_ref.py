@@ -59,3 +59,65 @@ class TorchResNet18(nn.Module):
         x = self.features(x)
         x = torch.flatten(self.avgpool(x), 1)
         return torch.softmax(self.fc(x), -1)
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (expansion 4, stride on 3x3)."""
+
+    def __init__(self, inplanes: int, planes: int, stride: int = 1) -> None:
+        super().__init__()
+        out = planes * 4
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, out, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out)
+        self.relu = nn.ReLU(inplace=True)
+        if stride != 1 or inplanes != out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, out, 1, stride, bias=False),
+                nn.BatchNorm2d(out),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNetEncoder(nn.Module):
+    """Reference-style ResNetEncoder: per-stage features, torchvision names."""
+
+    def __init__(self, layers=(3, 4, 6, 3), in_ch: int = 3) -> None:
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=(in_ch != 3))
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        inplanes = 64
+        for i, n in enumerate(layers):
+            planes = 64 * 2**i
+            blocks = []
+            for b in range(n):
+                stride = 2 if (i > 0 and b == 0) else 1
+                blocks.append(Bottleneck(inplanes, planes, stride))
+                inplanes = planes * 4
+            setattr(self, f"layer{i+1}", nn.Sequential(*blocks))
+
+    def forward(self, x: torch.Tensor) -> list:
+        x = self.conv1(x)
+        x = self.bn1(x)
+        x0 = x = self.relu(x)
+        x = self.maxpool(x)
+        x1 = x = self.layer1(x)
+        x2 = x = self.layer2(x)
+        x3 = x = self.layer3(x)
+        x4 = self.layer4(x)
+        return [x0, x1, x2, x3, x4]
