@@ -32,7 +32,9 @@ class _AnyAttrModule(types.ModuleType):
         return self
 
     def __mro_entries__(self, bases):  # allow subclassing stubs
-        return (object,)
+        # drop the stub base entirely: keeps real mixin bases working
+        # (e.g. class X(TimmStub, RealMixin) -> class X(RealMixin))
+        return ()
 
 
 class _StubLoader(importlib.abc.Loader):

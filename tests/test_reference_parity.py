@@ -285,6 +285,88 @@ class TestArchitectureWeightParity:
             t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
         ).max() < 1e-4
 
+    def test_efficientunet_tissue_mask(self) -> None:
+        """EfficientNet-B0 U-Net: converted weights reproduce the torch forward."""
+        import torch
+
+        from tiatoolbox.models.architecture.efficientunet_tissue_mask_model import (
+            EfficientUNetTissueMaskModel as RefModel,
+        )
+
+        from tiatoolbox_tpu.models.architecture.efficientunet_tissue_mask_model import (
+            EfficientUNetTissueMaskModel,
+        )
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_efficientunet_to_flax,
+        )
+
+        torch.manual_seed(0)
+        ref = RefModel()
+        _randomize_bn(ref)
+        ours = EfficientUNetTissueMaskModel()
+        ours.init(input_shape=(1, 64, 64, 3))
+        ours.load_weights(
+            torch_efficientunet_to_flax(
+                {k: np.asarray(v) for k, v in ref.state_dict().items()}
+            )
+        )
+        x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+        t_out, f_out = _forward_pair(ref, ours, x)
+        assert np.abs(
+            t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
+        ).max() < 1e-4
+
+    def test_grandqc(self) -> None:
+        """GrandQC UNet++: converted weights reproduce the torch forward.
+
+        Encoder: local timm-native B0 replica (timm not in env);
+        decoder + head: the reference's own pure-torch modules.
+        """
+        import torch
+
+        from tiatoolbox.models.architecture.grandqc import (
+            UnetPlusPlusDecoder as RefDecoder,
+        )
+        from tiatoolbox.models.architecture.utils import (
+            SegmentationHead as RefHead,
+        )
+        from torch_ref import TorchTimmEfficientNetB0Encoder
+
+        from tiatoolbox_tpu.models.architecture.grandqc import GrandQCModel
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_grandqc_to_flax,
+        )
+
+        class RefGrandQC(torch.nn.Module):
+            def __init__(self) -> None:
+                super().__init__()
+                self.encoder = TorchTimmEfficientNetB0Encoder()
+                self.decoder = RefDecoder(
+                    encoder_channels=[3, 32, 24, 40, 112, 320],
+                    decoder_channels=(256, 128, 64, 32, 16),
+                    n_blocks=5,
+                )
+                self.segmentation_head = RefHead(16, 2, kernel_size=3)
+
+            def forward(self, x):
+                return self.segmentation_head(self.decoder(self.encoder(x)))
+
+        torch.manual_seed(0)
+        ref = RefGrandQC()
+        _randomize_bn(ref)
+        ours = GrandQCModel()
+        ours.init(input_shape=(1, 64, 64, 3))
+        ours.load_weights(
+            torch_grandqc_to_flax(
+                {k: np.asarray(v) for k, v in ref.state_dict().items()}
+            )
+        )
+        x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+        t_out, f_out = _forward_pair(ref, ours, x)
+        assert np.abs(
+            t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
+        ).max() < 1e-4
+
     def test_micronet_bicubic(self) -> None:
         """torch-matched bicubic resize (a=-0.75) used by MicroNet."""
         import torch

@@ -121,3 +121,124 @@ class TorchResNetEncoder(nn.Module):
         x3 = x = self.layer3(x)
         x4 = self.layer4(x)
         return [x0, x1, x2, x3, x4]
+
+class _TimmSE(nn.Module):
+    """timm SqueezeExcite: reduce on block-input channels, SiLU, sigmoid."""
+
+    def __init__(self, chs: int, in_chs: int) -> None:
+        super().__init__()
+        reduced = max(1, in_chs // 4)
+        self.conv_reduce = nn.Conv2d(chs, reduced, 1, bias=True)
+        self.act1 = nn.SiLU()
+        self.conv_expand = nn.Conv2d(reduced, chs, 1, bias=True)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(self.act1(self.conv_reduce(s)))
+        return x * torch.sigmoid(s)
+
+
+class _TimmDSConv(nn.Module):
+    """timm DepthwiseSeparableConv (EfficientNet stage 0), static padding."""
+
+    def __init__(self, in_chs: int, out_chs: int, kernel: int = 3) -> None:
+        super().__init__()
+        self.conv_dw = nn.Conv2d(
+            in_chs, in_chs, kernel, padding=kernel // 2, groups=in_chs, bias=False
+        )
+        self.bn1 = nn.BatchNorm2d(in_chs)
+        self.se = _TimmSE(in_chs, in_chs)
+        self.conv_pw = nn.Conv2d(in_chs, out_chs, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_chs)
+        self.act = nn.SiLU()
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = self.act(self.bn1(self.conv_dw(x)))
+        x = self.se(x)
+        return self.bn2(self.conv_pw(x))
+
+
+class _TimmIR(nn.Module):
+    """timm InvertedResidual, static k//2 padding, SE on input chs."""
+
+    def __init__(
+        self, in_chs: int, out_chs: int, expand: int, kernel: int, stride: int
+    ) -> None:
+        super().__init__()
+        mid = in_chs * expand
+        self.has_skip = stride == 1 and in_chs == out_chs
+        self.conv_pw = nn.Conv2d(in_chs, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid)
+        self.conv_dw = nn.Conv2d(
+            mid, mid, kernel, stride, kernel // 2, groups=mid, bias=False
+        )
+        self.bn2 = nn.BatchNorm2d(mid)
+        self.se = _TimmSE(mid, in_chs)
+        self.conv_pwl = nn.Conv2d(mid, out_chs, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_chs)
+        self.act = nn.SiLU()
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        shortcut = x
+        x = self.act(self.bn1(self.conv_pw(x)))
+        x = self.act(self.bn2(self.conv_dw(x)))
+        x = self.se(x)
+        x = self.bn3(self.conv_pwl(x))
+        if self.has_skip:
+            x = x + shortcut
+        return x
+
+
+class TorchTimmEfficientNetB0Encoder(nn.Module):
+    """timm-native EfficientNet-B0 feature encoder (timm module naming).
+
+    Mirrors the reference's SMP timm encoder
+    (timm_efficientnet.py:383-552): returns [identity, s2, s4, s8,
+    s16, s32] features.
+    """
+
+    # (expand, out, repeats, kernel, stride) per stage, B0
+    _STAGES = (
+        (1, 16, 1, 3, 1),
+        (6, 24, 2, 3, 2),
+        (6, 40, 2, 5, 2),
+        (6, 80, 3, 3, 2),
+        (6, 112, 3, 5, 1),
+        (6, 192, 4, 5, 2),
+        (6, 320, 1, 3, 1),
+    )
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(32)
+        self.act = nn.SiLU()
+        stages = []
+        in_chs = 32
+        for stage_idx, (expand, out, repeats, k, s) in enumerate(self._STAGES):
+            blocks = []
+            for b in range(repeats):
+                if stage_idx == 0:
+                    blocks.append(_TimmDSConv(in_chs, out, k))
+                else:
+                    blocks.append(_TimmIR(in_chs, out, expand, k, s if b == 0 else 1))
+                in_chs = out
+            stages.append(nn.Sequential(*blocks))
+        self.blocks = nn.Sequential(*stages)
+
+    def forward(self, x: torch.Tensor) -> list:
+        features = [x]
+        x = self.act(self.bn1(self.conv_stem(x)))
+        features.append(x)
+        x = self.blocks[0](x)
+        x = self.blocks[1](x)
+        features.append(x)
+        x = self.blocks[2](x)
+        features.append(x)
+        x = self.blocks[3](x)
+        x = self.blocks[4](x)
+        features.append(x)
+        x = self.blocks[5](x)
+        x = self.blocks[6](x)
+        features.append(x)
+        return features

@@ -64,6 +64,15 @@ class _BN(nn.Module):
         return x * jnp.asarray(mul, x.dtype) + jnp.asarray(add, x.dtype)
 
 
+def _pad_spec(padding: str, kernel: int):
+    """"SAME" (TF asymmetric, official efficientnet) or "symmetric"
+    (static k//2 both sides, timm native efficientnet)."""
+    if padding == "symmetric":
+        p = kernel // 2
+        return ((p, p), (p, p))
+    return "SAME"
+
+
 class MBConv(nn.Module):
     """Mobile inverted bottleneck with squeeze-excite."""
 
@@ -71,6 +80,8 @@ class MBConv(nn.Module):
     expand_ratio: int
     kernel: int
     stride: int
+    conv_padding: str = "SAME"
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,18 +90,18 @@ class MBConv(nn.Module):
         expanded = in_ch * self.expand_ratio
         if self.expand_ratio != 1:
             h = nn.Conv(expanded, (1, 1), use_bias=False, name="expand_conv")(h)
-            h = _BN(name="expand_bn")(h)
+            h = _BN(epsilon=self.bn_eps, name="expand_bn")(h)
             h = nn.silu(h)
         h = nn.Conv(
             expanded,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=_pad_spec(self.conv_padding, self.kernel),
             feature_group_count=expanded,
             use_bias=False,
             name="dw_conv",
         )(h)
-        h = _BN(name="dw_bn")(h)
+        h = _BN(epsilon=self.bn_eps, name="dw_bn")(h)
         h = nn.silu(h)
         # squeeze-excite (ratio on pre-expansion channels)
         se_ch = max(1, in_ch // 4)
@@ -100,7 +111,7 @@ class MBConv(nn.Module):
         se = nn.Conv(expanded, (1, 1), name="se_expand")(se)
         h = h * nn.sigmoid(se)
         h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="project_conv")(h)
-        h = _BN(name="project_bn")(h)
+        h = _BN(epsilon=self.bn_eps, name="project_bn")(h)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x
         return h
@@ -113,16 +124,19 @@ class EfficientNetEncoder(nn.Module):
     """
 
     variant: str = "efficientnet_b0"
+    conv_padding: str = "SAME"  # "symmetric" = timm native efficientnet
+    bn_eps: float = 1e-3  # timm native uses 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         width_mult, depth_mult = EFFICIENTNET_PARAMS[self.variant]
         stem_ch = _round_channels(32, width_mult)
         h = nn.Conv(
-            stem_ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+            stem_ch, (3, 3), strides=(2, 2),
+            padding=_pad_spec(self.conv_padding, 3), use_bias=False,
             name="stem_conv",
         )(x)
-        h = _BN(name="stem_bn")(h)
+        h = _BN(epsilon=self.bn_eps, name="stem_bn")(h)
         h = nn.silu(h)
         feats = [h]
         for stage_idx, (expand, ch, repeats, kernel, stride) in enumerate(_B0_BLOCKS):
@@ -134,6 +148,8 @@ class EfficientNetEncoder(nn.Module):
                     expand,
                     kernel,
                     stride if block_idx == 0 else 1,
+                    conv_padding=self.conv_padding,
+                    bn_eps=self.bn_eps,
                     name=f"s{stage_idx}_b{block_idx}",
                 )(h)
             # capture features right before each downsample boundary

@@ -139,6 +139,10 @@ def convert_for_model(model, state_dict: dict) -> dict:
         return torch_nuclick_to_flax(state_dict)
     if cls_name == "UNetModel":
         return torch_unet_to_flax(state_dict)
+    if cls_name == "EfficientUNetTissueMaskModel":
+        return torch_efficientunet_to_flax(state_dict)
+    if cls_name == "GrandQCModel":
+        return torch_grandqc_to_flax(state_dict)
     return torch_resnet_to_flax(state_dict)
 
 
@@ -486,6 +490,164 @@ def torch_mapde_to_flax(state_dict: dict) -> dict:
         "params": {"trunk": trunk["params"]},
         "batch_stats": {"trunk": trunk["batch_stats"]},
     }
+
+
+# EfficientNet-B0 torch block index -> (stage, block-in-stage); reference
+# efficientunet_tissue_mask_model.py:405-416 builds a flat 16-block list.
+_B0_BLOCK_MAP = {}
+_n = 0
+for _stage, _repeats in enumerate((1, 2, 2, 3, 3, 4, 1)):
+    for _b in range(_repeats):
+        _B0_BLOCK_MAP[_n] = (_stage, _b)
+        _n += 1
+
+
+def torch_efficientunet_to_flax(state_dict: dict) -> dict:
+    """Convert a reference EfficientUNetTissueMaskModel torch state_dict.
+
+    Reference ``efficientunet_tissue_mask_model.py:746-800``:
+    ``encoder._conv_stem/_bn0/_blocks.N.*`` (EfficientNet-B0),
+    ``decoder.blocks.I.conv{1,2}.{0,1}.*`` and
+    ``segmentation_head.0.*``. The encoder's classifier-only
+    ``_conv_head``/``_bn1`` are present in checkpoints but unused in
+    the segmentation forward (:426-476) and are skipped.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    def store_conv(path, leaf, value):
+        put(params, [*path, "kernel" if leaf == "weight" else "bias"],
+            _conv_kernel(value) if leaf == "weight" else value)
+
+    def store_bn(path, leaf, value):
+        if leaf in ("weight", "bias"):
+            put(params, [*path, "scale" if leaf == "weight" else "bias"], value)
+        else:
+            put(batch_stats, [*path, "mean" if leaf == "running_mean" else "var"],
+                value)
+
+    mbconv_names = {
+        "_expand_conv": ("expand_conv", store_conv),
+        "_bn0": ("expand_bn", store_bn),
+        "_depthwise_conv": ("dw_conv", store_conv),
+        "_bn1": ("dw_bn", store_bn),
+        "_se_reduce": ("se_reduce", store_conv),
+        "_se_expand": ("se_expand", store_conv),
+        "_project_conv": ("project_conv", store_conv),
+        "_bn2": ("project_bn", store_bn),
+    }
+
+    for key, tensor in state_dict.items():
+        if "num_batches_tracked" in key:
+            continue
+        value = np.asarray(tensor)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "encoder":
+            if parts[1] == "_conv_stem":
+                store_conv(["encoder", "stem_conv"], leaf, value)
+            elif parts[1] == "_bn0":
+                store_bn(["encoder", "stem_bn"], leaf, value)
+            elif parts[1] == "_blocks":
+                stage, block = _B0_BLOCK_MAP[int(parts[2])]
+                name, store = mbconv_names[parts[3]]
+                store(["encoder", f"s{stage}_b{block}", name], leaf, value)
+            # _conv_head / _bn1: classifier-only, unused in segmentation
+        elif parts[0] == "decoder":
+            # decoder.blocks.I.convC.S.* : S=0 conv, S=1 bn; C in {1,2}
+            block, conv, seq = parts[2], int(parts[3][-1]) - 1, int(parts[4])
+            if seq == 0:
+                store_conv([f"dec{block}", f"conv{conv}"], leaf, value)
+            else:
+                store_bn([f"dec{block}", f"bn{conv}"], leaf, value)
+        elif parts[0] == "segmentation_head":
+            store_conv(["head"], leaf, value)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def torch_grandqc_to_flax(state_dict: dict) -> dict:
+    """Convert a reference GrandQCModel torch state_dict to flax variables.
+
+    Reference ``grandqc.py:473-512``: timm-native EfficientNet-B0
+    encoder (``encoder.conv_stem/bn1/blocks.S.B.*`` with per-stage
+    nested blocks; stage 0 is a depthwise-separable block named
+    ``conv_dw/bn1/se.*/conv_pw/bn2``, later stages are inverted
+    residuals named ``conv_pw/bn1/conv_dw/bn2/se.*/conv_pwl/bn3``),
+    UNet++ decoder ``decoder.blocks.x_D_L.conv{1,2}.{0,1}.*`` and
+    ``segmentation_head.0.*``.
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    def store_conv(path, leaf, value):
+        put(params, [*path, "kernel" if leaf == "weight" else "bias"],
+            _conv_kernel(value) if leaf == "weight" else value)
+
+    def store_bn(path, leaf, value):
+        if leaf in ("weight", "bias"):
+            put(params, [*path, "scale" if leaf == "weight" else "bias"], value)
+        else:
+            put(batch_stats, [*path, "mean" if leaf == "running_mean" else "var"],
+                value)
+
+    ds_names = {  # timm DepthwiseSeparableConv (stage 0)
+        "conv_dw": ("dw_conv", store_conv),
+        "bn1": ("dw_bn", store_bn),
+        "conv_pw": ("project_conv", store_conv),
+        "bn2": ("project_bn", store_bn),
+    }
+    ir_names = {  # timm InvertedResidual (stages 1+)
+        "conv_pw": ("expand_conv", store_conv),
+        "bn1": ("expand_bn", store_bn),
+        "conv_dw": ("dw_conv", store_conv),
+        "bn2": ("dw_bn", store_bn),
+        "conv_pwl": ("project_conv", store_conv),
+        "bn3": ("project_bn", store_bn),
+    }
+    se_names = {"conv_reduce": "se_reduce", "conv_expand": "se_expand"}
+
+    for key, tensor in state_dict.items():
+        if "num_batches_tracked" in key:
+            continue
+        value = np.asarray(tensor)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "encoder":
+            if parts[1] == "conv_stem":
+                store_conv(["encoder", "stem_conv"], leaf, value)
+            elif parts[1] == "bn1":
+                store_bn(["encoder", "stem_bn"], leaf, value)
+            elif parts[1] == "blocks":
+                stage, block = int(parts[2]), int(parts[3])
+                flax_block = ["encoder", f"s{stage}_b{block}"]
+                if parts[4] == "se":
+                    store_conv([*flax_block, se_names[parts[5]]], leaf, value)
+                else:
+                    names = ds_names if stage == 0 else ir_names
+                    name, store = names[parts[4]]
+                    store([*flax_block, name], leaf, value)
+        elif parts[0] == "decoder":
+            # decoder.blocks.x_D_L.convC.S.* : S=0 conv, S=1 bn; C in {1,2}
+            block, conv, seq = parts[2], int(parts[3][-1]) - 1, int(parts[4])
+            if seq == 0:
+                store_conv(["decoder", block, f"conv{conv}"], leaf, value)
+            else:
+                store_bn(["decoder", block, f"bn{conv}"], leaf, value)
+        elif parts[0] == "segmentation_head":
+            store_conv(["head"], leaf, value)
+    return {"params": params, "batch_stats": batch_stats}
 
 
 def torch_unet_to_flax(state_dict: dict) -> dict:  # noqa: C901

@@ -106,6 +106,7 @@ class WSIPatchDataset(PatchDatasetABC):
         min_mask_ratio: float = 0,
         preproc_func=None,
         patch_output_shape=None,
+        wsireader_kwargs: dict | None = None,
         *,
         auto_get_mask: bool = True,
     ) -> None:
@@ -140,7 +141,7 @@ class WSIPatchDataset(PatchDatasetABC):
         self.stride_shape = tuple(int(v) for v in stride_shape)
 
         if mode == "wsi":
-            self.reader = WSIReader.open(img_path)
+            self.reader = WSIReader.open(img_path, **(wsireader_kwargs or {}))
         else:
             img = img_path if isinstance(img_path, np.ndarray) else misc.imread(img_path)
             self.reader = VirtualWSIReader(img)

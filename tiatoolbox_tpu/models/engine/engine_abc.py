@@ -87,6 +87,8 @@ class EngineABC(ABC):
         self.output_type = "dict"
         self.scale_factor = (1.0, 1.0)
         self.class_dict: dict | None = None
+        self.output_file: str | None = None
+        self.wsireader_kwargs: dict = {}
 
     @staticmethod
     def _initialize_model_ioconfig(model, weights):
@@ -124,6 +126,11 @@ class EngineABC(ABC):
         "scale_factor",
         "class_dict",
         "verbose",
+        # reference EngineABCRunParams names (engine_abc.py:80-133)
+        "device",
+        "num_workers",
+        "output_file",
+        "wsireader_kwargs",
     )
 
     def _update_run_params(self, **kwargs) -> None:
@@ -131,6 +138,8 @@ class EngineABC(ABC):
             if key not in self._RUN_PARAMS:
                 msg = f"Unknown run parameter: {key}"
                 raise TypeError(msg)
+            if key == "num_workers":  # reference alias for loader threads
+                key = "num_loader_workers"
             setattr(self, key, value)
 
     def _update_ioconfig(self, ioconfig) -> ModelIOConfigABC:
@@ -202,6 +211,7 @@ class EngineABC(ABC):
                 min_mask_ratio=self.min_mask_ratio,
                 preproc_func=self.model.preproc_func,
                 auto_get_mask=self.auto_get_mask,
+                wsireader_kwargs=self.wsireader_kwargs,
             )
         return BatchLoader(
             dataset,
@@ -332,7 +342,9 @@ class EngineABC(ABC):
         )
         raw = self.infer_patches(dataloader)
         processed = self.post_process_patches(raw)
-        return self.save_predictions(processed, output_type, save_dir, **kwargs)
+        return self.save_predictions(
+            processed, output_type, save_dir, output_file=self.output_file, **kwargs
+        )
 
     def _run_wsi_mode(self, output_type: str, save_dir: Path | None, **kwargs):
         results = {}
@@ -354,7 +366,9 @@ class EngineABC(ABC):
                 "ome-tiff": ".ome.tiff",
                 "ome_tiff": ".ome.tiff",
             }.get(output_type.lower(), "")
-            output_file = f"{Path(str(image)).stem}{suffix}" if suffix else None
+            output_file = self.output_file or (
+                f"{Path(str(image)).stem}{suffix}" if suffix else None
+            )
             results[str(image)] = self.save_predictions(
                 processed,
                 output_type,

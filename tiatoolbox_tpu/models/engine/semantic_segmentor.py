@@ -90,6 +90,7 @@ class SemanticSegmentor(EngineABC):
             preproc_func=self.model.preproc_func,
             patch_output_shape=patch_out_wh,
             auto_get_mask=self.auto_get_mask,
+            wsireader_kwargs=self.wsireader_kwargs,
         )
         return BatchLoader(
             dataset,

@@ -116,8 +116,13 @@ class ModelABC:
 
     @property
     def preproc_func(self) -> Callable:
-        """Per-patch preprocessing applied by datasets (host side)."""
-        return self._preproc_func if self._preproc_func is not None else (lambda x: x)
+        """Per-patch preprocessing applied by datasets (host side).
+
+        Defaults to the model's own ``preproc`` (reference
+        ``models_abc.py``: engines apply ``model.preproc`` unless the
+        user overrides it).
+        """
+        return self._preproc_func if self._preproc_func is not None else self.preproc
 
     @preproc_func.setter
     def preproc_func(self, func: Callable | None) -> None:
