@@ -367,6 +367,104 @@ class TestArchitectureWeightParity:
             t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
         ).max() < 1e-4
 
+    def test_kongnet(self) -> None:
+        """KongNet: converted weights reproduce the torch forward.
+
+        Encoder: local timm-native EfficientNetV2 replica (timm/
+        torchvision not in env); decoder + heads: the reference's own
+        torch modules with Conv2dNormActivation substituted by an
+        equivalent local Sequential(conv, BN, SiLU).
+        """
+        import torch
+        from torch import nn as tnn
+
+        import tiatoolbox.models.architecture.kongnet as ref_kongnet
+        from tiatoolbox.models.architecture.utils import (
+            SegmentationHead as RefHead,
+        )
+        from torch_ref import TorchTimmEfficientNetV2Features
+
+        from tiatoolbox_tpu.models.architecture.kongnet import KongNet
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            torch_kongnet_to_flax,
+        )
+
+        class Conv2dNormActivation(tnn.Sequential):
+            """torchvision Conv2dNormActivation equivalent (conv/bn/act)."""
+
+            def __init__(self, in_ch, out_ch, kernel_size=3, padding=None,
+                         norm_layer=tnn.BatchNorm2d, activation_layer=tnn.ReLU):
+                if padding is None:
+                    padding = (kernel_size - 1) // 2
+                super().__init__(
+                    tnn.Conv2d(in_ch, out_ch, kernel_size,
+                               padding=padding, bias=False),
+                    norm_layer(out_ch),
+                    activation_layer(inplace=True),
+                )
+
+        ref_kongnet.Conv2dNormActivation = Conv2dNormActivation
+        variant = "efficientnetv2_s"
+        enc_channels = [3, 24, 48, 64, 160, 256]
+        num_channels_per_head = (3, 4)
+
+        class WrappedEncoder(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.model = TorchTimmEfficientNetV2Features(variant)
+
+            def forward(self, x):
+                return [x, *self.model(x)]
+
+        class RefKongNet(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder = WrappedEncoder()
+                self.decoders = tnn.ModuleList([
+                    ref_kongnet.KongNetDecoder(
+                        encoder_channels=enc_channels,
+                        decoder_channels=(256, 128, 64, 32, 16),
+                        n_blocks=5,
+                        center=True,
+                        attention_type="scse",
+                    )
+                    for _ in num_channels_per_head
+                ])
+                self.heads = tnn.ModuleList([
+                    RefHead(16, c, activation=None, kernel_size=1)
+                    for c in num_channels_per_head
+                ])
+
+            def forward(self, x):
+                feats = self.encoder(x)
+                return torch.cat(
+                    [h(d(*feats)) for d, h in zip(self.decoders, self.heads)], 1
+                )
+
+        torch.manual_seed(0)
+        ref = RefKongNet()
+        _randomize_bn(ref)
+        ours = KongNet(
+            num_heads=2,
+            num_channels_per_head=list(num_channels_per_head),
+            target_channels=[0, 4],
+            min_distance=11,
+            threshold_abs=0.5,
+            variant=variant,
+        )
+        ours.init(input_shape=(1, 64, 64, 3))
+        ours.load_weights(
+            torch_kongnet_to_flax(
+                {k: np.asarray(v) for k, v in ref.state_dict().items()},
+                variant=variant,
+            )
+        )
+        x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+        t_out, f_out = _forward_pair(ref, ours, x)
+        assert np.abs(
+            t_out.numpy().transpose(0, 2, 3, 1) - np.asarray(f_out)
+        ).max() < 1e-4
+
     def test_micronet_bicubic(self) -> None:
         """torch-matched bicubic resize (a=-0.75) used by MicroNet."""
         import torch

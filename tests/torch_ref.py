@@ -242,3 +242,149 @@ class TorchTimmEfficientNetB0Encoder(nn.Module):
         x = self.blocks[6](x)
         features.append(x)
         return features
+
+
+class TFSameConv2d(nn.Conv2d):
+    """Conv2d with TF dynamic SAME padding (as timm tf_ variants)."""
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        import math as _math
+
+        h, w = x.shape[-2:]
+        kh, kw = self.kernel_size
+        sh, sw = self.stride
+        pad_h = max((_math.ceil(h / sh) - 1) * sh + kh - h, 0)
+        pad_w = max((_math.ceil(w / sw) - 1) * sw + kw - w, 0)
+        if pad_h or pad_w:
+            x = torch.nn.functional.pad(
+                x, [pad_w // 2, pad_w - pad_w // 2, pad_h // 2, pad_h - pad_h // 2]
+            )
+        return torch.nn.functional.conv2d(
+            x, self.weight, self.bias, self.stride, 0, self.dilation, self.groups
+        )
+
+class _TimmConvBnAct(nn.Module):
+    """timm ConvBnAct ("cn") block: residual added after activation."""
+
+    def __init__(self, in_chs: int, out_chs: int, kernel: int, stride: int) -> None:
+        super().__init__()
+        self.has_skip = stride == 1 and in_chs == out_chs
+        self.conv = TFSameConv2d(in_chs, out_chs, kernel, stride, bias=False)
+        self.bn1 = nn.BatchNorm2d(out_chs, eps=1e-3)
+        self.act = nn.SiLU()
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        shortcut = x
+        x = self.act(self.bn1(self.conv(x)))
+        if self.has_skip:
+            x = x + shortcut
+        return x
+
+
+class _TimmEdgeResidual(nn.Module):
+    """timm EdgeResidual ("er"): fused expand conv + linear project."""
+
+    def __init__(
+        self, in_chs: int, out_chs: int, expand: int, kernel: int, stride: int
+    ) -> None:
+        super().__init__()
+        mid = in_chs * expand
+        self.has_skip = stride == 1 and in_chs == out_chs
+        self.conv_exp = TFSameConv2d(in_chs, mid, kernel, stride, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_pwl = nn.Conv2d(mid, out_chs, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_chs, eps=1e-3)
+        self.act = nn.SiLU()
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        shortcut = x
+        x = self.act(self.bn1(self.conv_exp(x)))
+        x = self.bn2(self.conv_pwl(x))
+        if self.has_skip:
+            x = x + shortcut
+        return x
+
+
+class _TimmIRv2(_TimmIR):
+    """InvertedResidual with BN eps 1e-3 + TF-SAME dw conv (tf_ variants)."""
+
+    def __init__(
+        self, in_chs: int, out_chs: int, expand: int, kernel: int, stride: int
+    ) -> None:
+        super().__init__(in_chs, out_chs, expand, kernel, stride)
+        mid = in_chs * expand
+        self.conv_dw = TFSameConv2d(
+            mid, mid, kernel, stride, groups=mid, bias=False
+        )
+        for m in self.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.eps = 1e-3
+
+
+# (kind, expand, out, repeats, kernel, stride) per stage
+_V2_CONFIGS = {
+    "efficientnetv2_l": {
+        "stem": 32,
+        "stages": (
+            ("cn", 1, 32, 4, 3, 1),
+            ("er", 4, 64, 7, 3, 2),
+            ("er", 4, 96, 7, 3, 2),
+            ("ir", 4, 192, 10, 3, 2),
+            ("ir", 6, 224, 19, 3, 1),
+            ("ir", 6, 384, 25, 3, 2),
+            ("ir", 6, 640, 7, 3, 1),
+        ),
+        "feature_stages": (0, 1, 2, 4, 6),
+    },
+    "efficientnetv2_s": {
+        "stem": 24,
+        "stages": (
+            ("cn", 1, 24, 2, 3, 1),
+            ("er", 4, 48, 4, 3, 2),
+            ("er", 4, 64, 4, 3, 2),
+            ("ir", 4, 128, 6, 3, 2),
+            ("ir", 6, 160, 9, 3, 1),
+            ("ir", 6, 256, 15, 3, 2),
+        ),
+        "feature_stages": (0, 1, 2, 4, 5),
+    },
+}
+
+
+class TorchTimmEfficientNetV2Features(nn.Module):
+    """timm tf_efficientnetv2_* features_only replica (timm naming).
+
+    Uses TF dynamic-SAME padding (tf_ variants), BN eps 1e-3, SiLU.
+    """
+
+    def __init__(self, variant: str = "efficientnetv2_l") -> None:
+        super().__init__()
+        cfg = _V2_CONFIGS[variant]
+        self.feature_stages = cfg["feature_stages"]
+        self.conv_stem = TFSameConv2d(3, cfg["stem"], 3, 2, bias=False)
+        self.bn1 = nn.BatchNorm2d(cfg["stem"], eps=1e-3)
+        self.act = nn.SiLU()
+        stages = []
+        in_chs = cfg["stem"]
+        for kind, expand, out, repeats, k, s in cfg["stages"]:
+            blocks = []
+            for b in range(repeats):
+                stride = s if b == 0 else 1
+                if kind == "cn":
+                    blocks.append(_TimmConvBnAct(in_chs, out, k, stride))
+                elif kind == "er":
+                    blocks.append(_TimmEdgeResidual(in_chs, out, expand, k, stride))
+                else:
+                    blocks.append(_TimmIRv2(in_chs, out, expand, k, stride))
+                in_chs = out
+            stages.append(nn.Sequential(*blocks))
+        self.blocks = nn.Sequential(*stages)
+
+    def forward(self, x: torch.Tensor) -> list:
+        x = self.act(self.bn1(self.conv_stem(x)))
+        features = []
+        for stage_idx, stage in enumerate(self.blocks):
+            x = stage(x)
+            if stage_idx in self.feature_stages:
+                features.append(x)
+        return features

@@ -158,6 +158,160 @@ class EfficientNetEncoder(nn.Module):
         return feats
 
 
+class ConvBnAct(nn.Module):
+    """timm "cn" block: conv + BN + SiLU, residual after activation."""
+
+    out_ch: int
+    kernel: int
+    stride: int
+    conv_padding: str = "SAME"
+    bn_eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = nn.Conv(
+            self.out_ch,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=_pad_spec(self.conv_padding, self.kernel),
+            use_bias=False,
+            name="conv",
+        )(x)
+        h = _BN(epsilon=self.bn_eps, name="bn")(h)
+        h = nn.silu(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class FusedMBConv(nn.Module):
+    """timm EdgeResidual ("er"): fused expand conv + 1x1 project, no SE."""
+
+    out_ch: int
+    expand_ratio: int
+    kernel: int
+    stride: int
+    conv_padding: str = "SAME"
+    bn_eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = nn.Conv(
+            in_ch * self.expand_ratio,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=_pad_spec(self.conv_padding, self.kernel),
+            use_bias=False,
+            name="expand_conv",
+        )(x)
+        h = _BN(epsilon=self.bn_eps, name="expand_bn")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="project_conv")(h)
+        h = _BN(epsilon=self.bn_eps, name="project_bn")(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+# EfficientNetV2 stage plans (timm arch defs):
+# (block_type, expand, channels, repeats, kernel, stride)
+EFFICIENTNETV2_CONFIGS = {
+    "efficientnetv2_s": {
+        "stem": 24,
+        "stages": (
+            ("cn", 1, 24, 2, 3, 1),
+            ("er", 4, 48, 4, 3, 2),
+            ("er", 4, 64, 4, 3, 2),
+            ("ir", 4, 128, 6, 3, 2),
+            ("ir", 6, 160, 9, 3, 1),
+            ("ir", 6, 256, 15, 3, 2),
+        ),
+        "feature_stages": (0, 1, 2, 4, 5),
+    },
+    "efficientnetv2_m": {
+        "stem": 24,
+        "stages": (
+            ("cn", 1, 24, 3, 3, 1),
+            ("er", 4, 48, 5, 3, 2),
+            ("er", 4, 80, 5, 3, 2),
+            ("ir", 4, 160, 7, 3, 2),
+            ("ir", 6, 176, 14, 3, 1),
+            ("ir", 6, 304, 18, 3, 2),
+            ("ir", 6, 512, 5, 3, 1),
+        ),
+        "feature_stages": (0, 1, 2, 4, 6),
+    },
+    "efficientnetv2_l": {
+        "stem": 32,
+        "stages": (
+            ("cn", 1, 32, 4, 3, 1),
+            ("er", 4, 64, 7, 3, 2),
+            ("er", 4, 96, 7, 3, 2),
+            ("ir", 4, 192, 10, 3, 2),
+            ("ir", 6, 224, 19, 3, 1),
+            ("ir", 6, 384, 25, 3, 2),
+            ("ir", 6, 640, 7, 3, 1),
+        ),
+        "feature_stages": (0, 1, 2, 4, 6),
+    },
+}
+
+
+class EfficientNetV2Encoder(nn.Module):
+    """EfficientNetV2 trunk returning per-stage features.
+
+    Matches timm ``tf_efficientnetv2_*`` (TF-SAME padding, BN eps 1e-3,
+    SiLU) as used by the reference KongNet encoder
+    (``kongnet.py:728-736``). Returns 5 features at strides
+    [2, 4, 8, 16, 32].
+    """
+
+    variant: str = "efficientnetv2_l"
+    conv_padding: str = "SAME"
+    bn_eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        cfg = EFFICIENTNETV2_CONFIGS[self.variant]
+        h = nn.Conv(
+            cfg["stem"], (3, 3), strides=(2, 2),
+            padding=_pad_spec(self.conv_padding, 3), use_bias=False,
+            name="stem_conv",
+        )(x)
+        h = _BN(epsilon=self.bn_eps, name="stem_bn")(h)
+        h = nn.silu(h)
+        feats = []
+        for stage_idx, (kind, expand, ch, repeats, kernel, stride) in enumerate(
+            cfg["stages"]
+        ):
+            for block_idx in range(repeats):
+                s = stride if block_idx == 0 else 1
+                name = f"s{stage_idx}_b{block_idx}"
+                if kind == "cn":
+                    h = ConvBnAct(
+                        ch, kernel, s,
+                        conv_padding=self.conv_padding, bn_eps=self.bn_eps,
+                        name=name,
+                    )(h)
+                elif kind == "er":
+                    h = FusedMBConv(
+                        ch, expand, kernel, s,
+                        conv_padding=self.conv_padding, bn_eps=self.bn_eps,
+                        name=name,
+                    )(h)
+                else:
+                    h = MBConv(
+                        ch, expand, kernel, s,
+                        conv_padding=self.conv_padding, bn_eps=self.bn_eps,
+                        name=name,
+                    )(h)
+            if stage_idx in cfg["feature_stages"]:
+                feats.append(h)
+        return feats
+
+
 class EfficientNetClassifier(nn.Module):
     """EfficientNet with head conv + GAP + linear classifier."""
 

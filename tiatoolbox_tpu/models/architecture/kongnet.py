@@ -1,14 +1,28 @@
 """Flax KongNet (reference ``models/architecture/kongnet.py:508-944``).
 
-Multi-head detection/segmentation: a shared EfficientNet encoder feeds
-``num_heads`` independent U-Net decoders with SCSE attention, each with
-a 1x1 segmentation head; outputs concatenate on channels. Inference
-selects ``target_channels`` and applies sigmoid; postproc is peak
-local-max + NMS.
+Multi-head detection/segmentation: a shared EfficientNetV2-L encoder
+feeds ``num_heads`` independent U-Net decoders with SCSE attention,
+each with a 1x1 segmentation head; outputs concatenate on channels.
+Inference selects ``target_channels`` and applies sigmoid; postproc is
+peak local-max + NMS.
 
-Note: the reference encoder is timm EfficientNetV2-L; this build uses
-the in-package EfficientNet family (``variant`` arg; weight conversion
-therefore targets matching checkpoints, not the timm release).
+Topology matched exactly so converted reference checkpoints reproduce
+the torch forward:
+
+- Encoder: timm ``tf_efficientnetv2_l`` (reference
+  ``TimmEncoderFixed`` :106-223) — TF-SAME padding, BN eps 1e-3, SiLU
+  (``EfficientNetV2Encoder`` here); features [32,64,96,224,640] at
+  strides [2,4,8,16,32].
+- Decoder (``KongNetDecoder`` :418-505): center SCSE on the deepest
+  feature, then five ``DecoderBlock``s (:279-372) = SubPixelUpsample
+  (1x1 conv to C*4 + BN + SiLU, pixel-shuffle 2x, 3x3 conv + BN +
+  SiLU) -> concat skip -> SCSE (only when a skip exists) -> two
+  [3x3 conv + BN + SiLU] -> SCSE. Conv blocks are torchvision
+  ``Conv2dNormActivation`` (conv no-bias + BN eps 1e-5 + SiLU).
+- SCSE (reference ``utils.py:353-383``): channel SE via two 1x1 convs
+  on the pooled map (reduction 16, ReLU, sigmoid) plus spatial SE via
+  a 1x1 conv; ``x*cSE + x*sSE``.
+- Heads: 1x1 conv with bias per head (``SegmentationHead``).
 """
 
 from __future__ import annotations
@@ -18,33 +32,61 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tiatoolbox_tpu.models.architecture.efficientnet import EfficientNetEncoder
+from tiatoolbox_tpu.models.architecture.efficientnet import (
+    _BN,
+    EfficientNetEncoder,
+    EfficientNetV2Encoder,
+)
 from tiatoolbox_tpu.models.architecture.utils import (
     nms_on_detection_maps,
     peak_detection_map_overlap,
 )
 from tiatoolbox_tpu.models.models_abc import ModelABC
 
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406])
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225])
 
 
 class SCSEAttention(nn.Module):
-    """Concurrent spatial + channel squeeze-excite."""
+    """Concurrent spatial + channel squeeze-excite (reduction 16)."""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        # channel SE
         cse = jnp.mean(x, axis=(1, 2), keepdims=True)
-        cse = nn.Dense(max(ch // 16, 1), name="fc1")(cse)
+        cse = nn.Conv(max(ch // 16, 1), (1, 1), name="cse_reduce")(cse)
         cse = nn.relu(cse)
-        cse = nn.Dense(ch, name="fc2")(cse)
-        cse = x * nn.sigmoid(cse)
-        # spatial SE
-        sse = nn.Conv(1, (1, 1), name="spatial")(x)
-        sse = x * nn.sigmoid(sse)
-        return cse + sse
+        cse = nn.Conv(ch, (1, 1), name="cse_expand")(cse)
+        sse = nn.Conv(1, (1, 1), name="sse")(x)
+        return x * nn.sigmoid(cse) + x * nn.sigmoid(sse)
+
+
+def _pixel_shuffle2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch ``PixelShuffle(2)`` in NHWC: channel c*4+i*2+j -> (2h+i, 2w+j)."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+class _ConvBnSiLU(nn.Module):
+    """torchvision Conv2dNormActivation: conv(no bias) + BN(1e-5) + SiLU."""
+
+    out_ch: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.out_ch,
+            (self.kernel, self.kernel),
+            padding="SAME",
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = _BN(epsilon=1e-5, name="bn")(x)
+        return nn.silu(x)
 
 
 class _DecoderBlock(nn.Module):
@@ -52,19 +94,17 @@ class _DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None) -> jnp.ndarray:
-        from tiatoolbox_tpu.models.architecture.efficientnet import _BN
-
-        n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        in_ch = x.shape[-1]
+        # SubPixelUpsample(in, in): 1x1 -> in*4, shuffle, 3x3 -> in
+        x = _ConvBnSiLU(in_ch * 4, kernel=1, name="up_conv1")(x)
+        x = _pixel_shuffle2(x)
+        x = _ConvBnSiLU(in_ch, kernel=3, name="up_conv2")(x)
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
-        for i in range(2):
-            x = nn.Conv(
-                self.out_ch, (3, 3), padding="SAME", use_bias=False, name=f"conv{i}"
-            )(x)
-            x = _BN(name=f"bn{i}")(x)
-            x = nn.relu(x)
-        return SCSEAttention(name="scse")(x)
+            x = SCSEAttention(name="att1")(x)
+        x = _ConvBnSiLU(self.out_ch, kernel=3, name="conv1")(x)
+        x = _ConvBnSiLU(self.out_ch, kernel=3, name="conv2")(x)
+        return SCSEAttention(name="att2")(x)
 
 
 class _KongNetDecoder(nn.Module):
@@ -72,13 +112,8 @@ class _KongNetDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats: list[jnp.ndarray]) -> jnp.ndarray:
-        # feats strides [2, 4, 8, 16, 32]; centre block on the deepest
-        from tiatoolbox_tpu.models.architecture.efficientnet import _BN
-
-        h = feats[-1]
-        h = nn.Conv(h.shape[-1], (3, 3), padding="SAME", use_bias=False, name="center")(h)
-        h = _BN(name="center_bn")(h)
-        h = nn.relu(h)
+        # feats strides [2, 4, 8, 16, 32]; centre SCSE on the deepest
+        h = SCSEAttention(name="center")(feats[-1])
         skips = [feats[3], feats[2], feats[1], feats[0], None]
         for i, out_ch in enumerate(self.decoder_channels):
             h = _DecoderBlock(out_ch, name=f"block{i}")(h, skips[i])
@@ -88,12 +123,15 @@ class _KongNetDecoder(nn.Module):
 class _KongNetNet(nn.Module):
     num_heads: int = 3
     num_channels_per_head: tuple = (3, 3, 3)
-    variant: str = "efficientnet_b4"
+    variant: str = "efficientnetv2_l"
     wide_decoder: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        feats = EfficientNetEncoder(variant=self.variant, name="encoder")(x)
+        if self.variant.startswith("efficientnetv2"):
+            feats = EfficientNetV2Encoder(variant=self.variant, name="encoder")(x)
+        else:  # v1 family fallback (non-reference checkpoints)
+            feats = EfficientNetEncoder(variant=self.variant, name="encoder")(x)
         decoder_channels = (
             (512, 256, 128, 64, 32) if self.wide_decoder else (256, 128, 64, 32, 16)
         )
@@ -119,6 +157,7 @@ class KongNet(ModelABC):
         target_channels: Channel indices selected at inference.
         min_distance / threshold_abs: Peak-detection parameters.
         wide_decoder: Use the wider decoder channel plan.
+        variant: Encoder variant (reference: EfficientNetV2-L).
     """
 
     def __init__(
@@ -129,7 +168,7 @@ class KongNet(ModelABC):
         min_distance: int,
         threshold_abs: float,
         tile_shape=(2048, 2048),
-        variant: str = "efficientnet_b4",
+        variant: str = "efficientnetv2_l",
         *,
         wide_decoder: bool = False,
         class_dict: dict | None = None,
@@ -161,7 +200,7 @@ class KongNet(ModelABC):
 
     @staticmethod
     def preproc(image: np.ndarray) -> np.ndarray:
-        """ImageNet normalization."""
+        """ImageNet normalization (reference ``kongnet.py:768-792``)."""
         return ((image / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD).astype(np.float32)
 
     @staticmethod

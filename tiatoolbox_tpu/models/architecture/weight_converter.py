@@ -143,6 +143,10 @@ def convert_for_model(model, state_dict: dict) -> dict:
         return torch_efficientunet_to_flax(state_dict)
     if cls_name == "GrandQCModel":
         return torch_grandqc_to_flax(state_dict)
+    if cls_name == "KongNet":
+        return torch_kongnet_to_flax(
+            state_dict, variant=model.module.variant
+        )
     return torch_resnet_to_flax(state_dict)
 
 
@@ -162,6 +166,10 @@ def load_weights_into(model, path: str | Path) -> None:
         checkpoint = checkpoint["desc"]
     if isinstance(checkpoint, dict) and "state_dict" in checkpoint:
         checkpoint = checkpoint["state_dict"]
+    if isinstance(checkpoint, dict) and "model" in checkpoint and isinstance(
+        checkpoint["model"], dict
+    ):  # KongNet-style wrapper (reference kongnet.py load_state_dict)
+        checkpoint = checkpoint["model"]
     state_dict = {k: v.numpy() for k, v in checkpoint.items()}
     model.load_weights(convert_for_model(model, state_dict))
 
@@ -647,6 +655,118 @@ def torch_grandqc_to_flax(state_dict: dict) -> dict:
                 store_bn(["decoder", block, f"bn{conv}"], leaf, value)
         elif parts[0] == "segmentation_head":
             store_conv(["head"], leaf, value)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def torch_kongnet_to_flax(
+    state_dict: dict, variant: str = "efficientnetv2_l"
+) -> dict:
+    """Convert a reference KongNet torch state_dict to flax variables.
+
+    Reference ``kongnet.py:508-944``: timm ``tf_efficientnetv2_l``
+    encoder under ``encoder.model.*`` (stage-nested blocks; "cn"
+    blocks named ``conv/bn1``, "er" blocks ``conv_exp/bn1/conv_pwl/
+    bn2``, "ir" blocks ``conv_pw/bn1/conv_dw/bn2/se.*/conv_pwl/bn3``),
+    per-head U-Net decoders ``decoders.I.center|blocks.J.*`` with SCSE
+    attention (``cSE.1/cSE.3/sSE.0``) and SubPixelUpsample
+    (``up.conv1/up.conv2``), and 1x1 heads ``heads.I.0``.
+    """
+    from tiatoolbox_tpu.models.architecture.efficientnet import (
+        EFFICIENTNETV2_CONFIGS,
+    )
+
+    stage_kinds = [s[0] for s in EFFICIENTNETV2_CONFIGS[variant]["stages"]]
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    def store_conv(path, leaf, value):
+        put(params, [*path, "kernel" if leaf == "weight" else "bias"],
+            _conv_kernel(value) if leaf == "weight" else value)
+
+    def store_bn(path, leaf, value):
+        if leaf in ("weight", "bias"):
+            put(params, [*path, "scale" if leaf == "weight" else "bias"], value)
+        else:
+            put(batch_stats, [*path, "mean" if leaf == "running_mean" else "var"],
+                value)
+
+    cn_names = {"conv": ("conv", store_conv), "bn1": ("bn", store_bn)}
+    er_names = {
+        "conv_exp": ("expand_conv", store_conv),
+        "bn1": ("expand_bn", store_bn),
+        "conv_pwl": ("project_conv", store_conv),
+        "bn2": ("project_bn", store_bn),
+    }
+    ir_names = {
+        "conv_pw": ("expand_conv", store_conv),
+        "bn1": ("expand_bn", store_bn),
+        "conv_dw": ("dw_conv", store_conv),
+        "bn2": ("dw_bn", store_bn),
+        "conv_pwl": ("project_conv", store_conv),
+        "bn3": ("project_bn", store_bn),
+    }
+    se_names = {"conv_reduce": "se_reduce", "conv_expand": "se_expand"}
+    scse_names = {("cSE", "1"): "cse_reduce", ("cSE", "3"): "cse_expand",
+                  ("sSE", "0"): "sse"}
+
+    def store_scse(flax_path, parts, leaf, value):
+        # parts like ["cSE", "1"] / ["sSE", "0"]
+        store_conv([*flax_path, scse_names[(parts[0], parts[1])]], leaf, value)
+
+    for key, tensor in state_dict.items():
+        if "num_batches_tracked" in key:
+            continue
+        value = np.asarray(tensor)
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "encoder":  # encoder.model.*
+            if parts[2] == "conv_stem":
+                store_conv(["encoder", "stem_conv"], leaf, value)
+            elif parts[2] == "bn1":
+                store_bn(["encoder", "stem_bn"], leaf, value)
+            elif parts[2] == "blocks":
+                stage, block = int(parts[3]), int(parts[4])
+                flax_block = ["encoder", f"s{stage}_b{block}"]
+                if parts[5] == "se":
+                    store_conv([*flax_block, se_names[parts[6]]], leaf, value)
+                else:
+                    names = {"cn": cn_names, "er": er_names, "ir": ir_names}[
+                        stage_kinds[stage]
+                    ]
+                    name, store = names[parts[5]]
+                    store([*flax_block, name], leaf, value)
+        elif parts[0] == "decoders":
+            dec = f"decoder{parts[1]}"
+            if parts[2] == "center":
+                # decoders.I.center.attention.attention.{cSE,sSE}.K.*
+                store_scse([dec, "center"], parts[5:7], leaf, value)
+            elif parts[2] == "blocks":
+                blk = [dec, f"block{parts[3]}"]
+                sub = parts[4]
+                if sub == "up":
+                    # up.convC.{0,1}.*
+                    conv_name = f"up_{parts[5]}"
+                    if parts[6] == "0":
+                        store_conv([*blk, conv_name, "conv"], leaf, value)
+                    else:
+                        store_bn([*blk, conv_name, "bn"], leaf, value)
+                elif sub in ("conv1", "conv2"):
+                    if parts[5] == "0":
+                        store_conv([*blk, sub, "conv"], leaf, value)
+                    else:
+                        store_bn([*blk, sub, "bn"], leaf, value)
+                elif sub in ("attention1", "attention2"):
+                    att = "att1" if sub == "attention1" else "att2"
+                    # blocks.J.attentionX.attention.{cSE,sSE}.K.*
+                    store_scse([*blk, att], parts[6:8], leaf, value)
+        elif parts[0] == "heads":
+            store_conv([f"head{parts[1]}"], leaf, value)
     return {"params": params, "batch_stats": batch_stats}
 
 
