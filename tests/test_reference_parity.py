@@ -35,7 +35,7 @@ def source() -> np.ndarray:
     return synthetic_he_patch((224, 224), seed=42)
 
 
-@pytest.mark.parametrize("method", ["ruifrok", "macenko", "reinhard"])
+@pytest.mark.parametrize("method", ["ruifrok", "macenko", "reinhard", "vahadane"])
 def test_stainnorm_pixel_identical(method, target, source) -> None:
     """Host stain normalization is bit-identical to the reference."""
     from tiatoolbox.tools.stainnorm import get_normalizer as ref_get_normalizer

@@ -170,9 +170,11 @@ class TestOmeTiff:
 
 
 def test_multichannel_to_rgb() -> None:
+    import pytest
+
     from tiatoolbox_tpu.utils.postproc_defs import MultichannelToRGB
 
-    img = np.random.default_rng(0).random((32, 32, 5)).astype(np.float32)
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 5)).astype(np.uint8)
     converter = MultichannelToRGB()
     out = converter(img)
     assert out.shape == (32, 32, 3)
@@ -180,3 +182,124 @@ def test_multichannel_to_rgb() -> None:
     converter.set_active_channels([0, 1])
     out2 = converter(img)
     assert out2.shape == (32, 32, 3)
+    # <5 channels pass through unchanged (assumed RGB(A))
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    assert MultichannelToRGB()(rgb) is rgb
+    # color_dict drives colors; n == colors - 1 drops background channel
+    conv = MultichannelToRGB(
+        color_dict={f"c{i}": (1.0, 0.0, 0.0) for i in range(6)}
+    )
+    with pytest.warns(UserWarning, match="background"):
+        out3 = conv(img)
+    assert out3.shape == (32, 32, 3)
+    assert len(conv.colors) == 5
+    # uint16 images are scaled to uint8 range first
+    img16 = (img.astype(np.uint16) * 256).astype(np.uint16)
+    conv2 = MultichannelToRGB({f"c{i}": (0.0, 1.0, 0.0) for i in range(5)})
+    out16 = conv2(img16)
+    assert out16.dtype == np.uint8
+    # mismatched color count raises
+    conv3 = MultichannelToRGB({"a": (1, 0, 0), "b": (0, 1, 0)})
+    with pytest.raises(ValueError, match="does not match"):
+        conv3(img)
+
+
+def test_tiff_color_table_parsers() -> None:
+    from xml.etree import ElementTree
+
+    from tiatoolbox_tpu.wsicore.wsireader import TIFFWSIReader
+
+    qptiff_xml = """<PerkinElmer>
+      <ScanColorTable>
+        <ScanColorTable-k>DAPI_filt</ScanColorTable-k>
+        <ScanColorTable-v>0, 0, 255</ScanColorTable-v>
+        <ScanColorTable-k>FITC_filt</ScanColorTable-k>
+        <ScanColorTable-v>Lime</ScanColorTable-v>
+      </ScanColorTable>
+    </PerkinElmer>"""
+    colors = TIFFWSIReader._parse_scancolortable(
+        ElementTree.fromstring(qptiff_xml)
+    )
+    assert colors["DAPI"] == (0.0, 0.0, 1.0)
+    assert colors["FITC"] == (0.0, 1.0, 0.0)
+
+    ome_xml = """<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">
+      <Image><Pixels>
+        <Channel ID="Channel:0" Name="DAPI" Color="65535"/>
+        <Channel ID="Channel:1" Name="CD8" Color="-16776961"/>
+      </Pixels></Image>
+      <StructuredAnnotations>
+        <XMLAnnotation><Value>
+          <ChannelPriv ID="Channel:0" FluorescenceChannel="DAPI-dye"/>
+        </Value></XMLAnnotation>
+      </StructuredAnnotations>
+    </OME>"""
+    colors = TIFFWSIReader._parse_ome_metadata_mapping(
+        ElementTree.fromstring(ome_xml)
+    )
+    # Color=65535 -> 0x00FFFF (cyan); dye annotation goes into the label
+    assert colors["DAPI (DAPI-dye)"] == (0.0, 1.0, 1.0)
+    # negative ints wrap to uint32; low 3 bytes read as RGB
+    # (reference wsireader.py:4015-4031 semantics)
+    assert colors["CD8"] == (0.0, 0.0, 1.0)
+
+    filt_xml = """<Scan>
+      <FilterColors>
+        <FilterColors-k>EM123/EX456</FilterColors-k>
+        <FilterColors-v>255, 0, 0</FilterColors-v>
+      </FilterColors>
+      <ScanBands>
+        <ScanBands-i>
+          <Bands-i><Name>OPAL520</Name></Bands-i>
+          <FilterPair>
+            <EmissionFilter><FixedFilter><PartNumber>EM123</PartNumber></FixedFilter></EmissionFilter>
+            <ExcitationFilter><FixedFilter><PartNumber>EX456</PartNumber></FixedFilter></ExcitationFilter>
+          </FilterPair>
+        </ScanBands-i>
+      </ScanBands>
+    </Scan>"""
+    colors = TIFFWSIReader._parse_filtercolor_metadata(
+        ElementTree.fromstring(filt_xml)
+    )
+    assert colors["OPAL520"] == (1.0, 0.0, 0.0)
+
+
+def test_multichannel_tiff_rgb_reads(tmp_path) -> None:
+    """End-to-end: 6-channel OME TIFF reads as RGB via parsed colors."""
+    from tiatoolbox_tpu.wsicore.tiffio import TiffPyramidWriter
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    channels = ["DAPI", "CD4", "CD8", "FOXP3", "PanCK", "AF"]
+    # channel i color = pure R/G/B rotation
+    rgb_ints = [0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0x00FFFF, 0xFF00FF]
+    chan_xml = "".join(
+        f'<Channel ID="Channel:{i}" Name="{n}" Color="{c}"/>'
+        for i, (n, c) in enumerate(zip(channels, rgb_ints))
+    )
+    ome = (
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        f"<Image><Pixels>{chan_xml}</Pixels></Image></OME>"
+    )
+    img = np.zeros((64, 64, 6), np.uint8)
+    img[:, :, 0] = 200  # DAPI everywhere
+    img[:32, :, 2] = 100  # CD8 top half
+    path = tmp_path / "multi.ome.tiff"
+    TiffPyramidWriter(
+        path, tile_size=32, description=ome, compression="deflate"
+    ).write([img])
+
+    wsi = WSIReader.open(path)
+    assert wsi.post_proc is not None
+    assert list(wsi.post_proc.color_dict) == channels
+    region = wsi.read_rect((0, 0), (64, 64), resolution=0, units="level")
+    assert region.shape == (64, 64, 3)
+    assert region.dtype == np.uint8
+    # DAPI=200 red everywhere; CD8=100 blue in top half
+    assert region[40, 10, 0] == 200 and region[40, 10, 2] == 0
+    assert region[10, 10, 2] == 100
+    # post_proc=None returns the raw channels
+    raw = WSIReader.open(path, post_proc=None).read_rect(
+        (0, 0), (64, 64), resolution=0, units="level"
+    )
+    assert raw.shape == (64, 64, 6)
+    assert raw[10, 10, 0] == 200

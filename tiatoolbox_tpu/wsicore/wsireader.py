@@ -61,15 +61,22 @@ class WSIReader:
         input_img,
         mpp=None,
         power=None,
+        post_proc="auto",
         **kwargs,
     ) -> "WSIReader":
         """Sniff the input and return an appropriate reader instance.
 
         Mirrors reference dispatch (``wsireader.py:343-419``): ndarray →
         Virtual; suffix/magic → TIFF / JP2 / NGFF / Virtual readers.
+        ``post_proc`` ("auto" | callable | name in ``postproc_defs`` |
+        None) post-processes read regions; "auto" applies
+        ``MultichannelToRGB`` on TIFF/Virtual readers (reference
+        ``wsireader.py:699-724``).
         """
         if isinstance(input_img, np.ndarray):
-            return VirtualWSIReader(input_img, mpp=mpp, power=power, **kwargs)
+            return VirtualWSIReader(
+                input_img, mpp=mpp, power=power, post_proc=post_proc, **kwargs
+            )
         if isinstance(input_img, WSIReader):
             return input_img
 
@@ -93,7 +100,7 @@ class WSIReader:
         if magic.is_dcm(path) or last == ".dcm":
             return DICOMWSIReader(path, mpp=mpp, power=power)
         if magic.is_tiff(path):
-            return TIFFWSIReader(path, mpp=mpp, power=power)
+            return TIFFWSIReader(path, mpp=mpp, power=power, post_proc=post_proc)
         if magic.is_jp2(path) or last == ".jp2":
             return JP2WSIReader(path, mpp=mpp, power=power)
         if magic.is_sqlite3(path) or last == ".db":
@@ -105,7 +112,7 @@ class WSIReader:
         msg = f"File {path} is not a supported file format."
         raise FileNotSupportedError(msg)
 
-    def __init__(self, input_img, mpp=None, power=None) -> None:
+    def __init__(self, input_img, mpp=None, power=None, post_proc="auto") -> None:
         if isinstance(input_img, (str, Path)):
             self.input_path: Path | None = Path(input_img)
         else:
@@ -113,6 +120,28 @@ class WSIReader:
         self._m_info: WSIMeta | None = None
         self._manual_mpp = tuple(np.broadcast_to(mpp, 2).astype(float)) if mpp else None
         self._manual_power = float(power) if power else None
+        self.post_proc = self.get_post_proc(post_proc)
+
+    def get_post_proc(self, post_proc):
+        """Resolve the post-processing callable (reference :699-724).
+
+        "auto" → ``MultichannelToRGB`` for TIFF/Virtual readers, None
+        otherwise; a string is looked up in ``utils.postproc_defs``.
+        """
+        from tiatoolbox_tpu.utils import postproc_defs
+
+        if callable(post_proc):
+            return post_proc
+        if post_proc is None:
+            return None
+        if post_proc == "auto":
+            if isinstance(self, (TIFFWSIReader, VirtualWSIReader)):
+                return postproc_defs.MultichannelToRGB()
+            return None
+        if isinstance(post_proc, str) and hasattr(postproc_defs, post_proc):
+            return getattr(postproc_defs, post_proc)()
+        msg = f"Invalid post_proc: {post_proc}"
+        raise ValueError(msg)
 
     # -- metadata --------------------------------------------------------------
 
@@ -398,6 +427,8 @@ class WSIReader:
             region = imresize(
                 region, output_size=tuple(np.array(size)), interpolation=interpolation
             )
+        if self.post_proc is not None:
+            region = self.post_proc(region)
         return region
 
     def read_rect_at_resolution(
@@ -454,6 +485,8 @@ class WSIReader:
                 output_size=tuple(np.array(size_at_requested)),
                 interpolation=interpolation,
             )
+        if self.post_proc is not None:
+            region = self.post_proc(region)
         return region
 
     def read_region(self, location, level: int, size) -> np.ndarray:
@@ -570,8 +603,9 @@ class VirtualWSIReader(WSIReader):
         power=None,
         info: WSIMeta | None = None,
         mode: str = "rgb",
+        post_proc="auto",
     ) -> None:
-        super().__init__(input_img, mpp=mpp, power=power)
+        super().__init__(input_img, mpp=mpp, power=power, post_proc=post_proc)
         if mode.lower() not in ("rgb", "bool", "feature"):
             msg = "Invalid mode."
             raise ValueError(msg)
@@ -658,6 +692,8 @@ class VirtualWSIReader(WSIReader):
             pad_at_baseline=False,
         )
         if self.mode == "rgb":
+            if self.post_proc is not None:
+                region = self.post_proc(region)
             return background_composite(region, alpha=False)
         return region
 
@@ -710,6 +746,8 @@ class VirtualWSIReader(WSIReader):
                 region, scale_factor=post_read_scale, output_size=size_at_requested
             )
         if self.mode == "rgb":
+            if self.post_proc is not None:
+                region = self.post_proc(region)
             return background_composite(region, alpha=False)
         return region
 
@@ -717,8 +755,8 @@ class VirtualWSIReader(WSIReader):
 class TIFFWSIReader(WSIReader):
     """Tiled pyramidal TIFF / SVS / OME-TIFF reader on ``tiffio``."""
 
-    def __init__(self, input_img, mpp=None, power=None) -> None:
-        super().__init__(input_img, mpp=mpp, power=power)
+    def __init__(self, input_img, mpp=None, power=None, post_proc="auto") -> None:
+        super().__init__(input_img, mpp=mpp, power=power, post_proc=post_proc)
         from tiatoolbox_tpu.wsicore.tiffio import TiffFile
 
         self.tiff = TiffFile(self.input_path)
@@ -728,6 +766,156 @@ class TIFFWSIReader(WSIReader):
             raise FileNotSupportedError(msg)
         base = self.tiff.pages[self._level_pages[0]]
         self._n_channels = base.samples_per_pixel
+        self._get_colors_from_meta()
+
+    def _get_colors_from_meta(self) -> None:
+        """Populate channel colors from slide XML (reference :3834-3856).
+
+        Tries ScanColorTable (QPTIFF), FilterColors (Vectra-style) and
+        OME-XML Channel Color attributes in turn.
+        """
+        from xml.etree import ElementTree
+
+        from tiatoolbox_tpu.utils import postproc_defs
+
+        if not isinstance(self.post_proc, postproc_defs.MultichannelToRGB):
+            return
+        try:
+            xml = self.tiff.pages[self._level_pages[0]].description
+            root = ElementTree.fromstring(xml)
+        except ElementTree.ParseError:
+            return
+        for parser in (
+            TIFFWSIReader._parse_scancolortable,
+            TIFFWSIReader._parse_filtercolor_metadata,
+            TIFFWSIReader._parse_ome_metadata_mapping,
+        ):
+            color_dict = parser(root)
+            if color_dict:
+                self.post_proc.color_dict = color_dict
+                return
+
+    @staticmethod
+    def _color_string_to_rgb(value: str):
+        """"255, 128, 0" or a named color ("Lime") → RGB tuple in [0,1]."""
+        import matplotlib.colors as mcolors
+
+        if "," in value:
+            return tuple(int(x.strip()) / 255 for x in value.split(","))
+        return mcolors.to_rgb(value)
+
+    @staticmethod
+    def _parse_scancolortable(root):
+        """QPTIFF ScanColorTable k/v pairs → color dict (reference :3857-3892)."""
+        color_info = root.find(".//ScanColorTable")
+        if color_info is None:
+            return None
+        color_dict = {
+            k.text.split("_")[0]: v.text
+            for k, v in zip(
+                color_info.iterfind("ScanColorTable-k"),
+                color_info.iterfind("ScanColorTable-v"),
+            )
+        }
+        for key, value in color_dict.items():
+            if value is None:
+                continue
+            color_dict[key] = TIFFWSIReader._color_string_to_rgb(value)
+        return color_dict
+
+    @staticmethod
+    def _parse_filtercolor_metadata(root):
+        """FilterColors + ScanBands filter-pair matching (reference :3895-3972)."""
+        filter_colors_section = root.find(".//FilterColors")
+        if filter_colors_section is None:
+            return None
+        filter_colors = {}
+        keys = filter_colors_section.findall(".//FilterColors-k")
+        vals = filter_colors_section.findall(".//FilterColors-v")
+        for k, v in zip(keys, vals):
+            filter_colors[k.text] = v.text
+
+        channel_dict = {}
+        for scan_band in root.findall(".//ScanBands-i"):
+            bands_i = scan_band.find(".//Bands-i")
+            if bands_i is None:
+                continue
+            band_name_element = bands_i.find("Name")
+            if band_name_element is None:
+                continue
+            channel_name = band_name_element.text.strip()
+            filter_pair = scan_band.find(".//FilterPair")
+            if filter_pair is None:
+                continue
+            emission = filter_pair.find(".//EmissionFilter/FixedFilter/PartNumber")
+            excitation = filter_pair.find(
+                ".//ExcitationFilter/FixedFilter/PartNumber"
+            )
+            if emission is None or excitation is None:
+                continue
+            matching_rgb = (1.0, 1.0, 1.0)
+            for fc_key, fc_val in filter_colors.items():
+                if emission.text in fc_key and excitation.text in fc_key:
+                    matching_rgb = TIFFWSIReader._color_string_to_rgb(fc_val)
+                    break
+            channel_dict[channel_name] = matching_rgb
+        return channel_dict or None
+
+    @staticmethod
+    def _parse_ome_metadata_mapping(root):
+        """OME-XML Channel Color attrs + dye annotations (reference :3989-4125)."""
+        from collections import defaultdict
+
+        ns = {}
+        if root.tag.startswith("{"):
+            ns = {"ns": root.tag.split("}")[0].strip("{")}
+
+        dye_mapping = {}
+        for annotation in root.findall(
+            ".//ns:StructuredAnnotations/ns:XMLAnnotation", ns
+        ):
+            value_elem = annotation.find("ns:Value", ns)
+            if value_elem is None:
+                continue
+            for chan_priv in value_elem.findall(".//ns:ChannelPriv", ns):
+                chan_id = chan_priv.attrib.get("ID")
+                dye = chan_priv.attrib.get("FluorescenceChannel")
+                if chan_id and dye:
+                    dye_mapping[chan_id] = dye
+
+        def int_to_rgb(color_int: int):
+            if color_int < 0:
+                color_int += 1 << 32
+            return (
+                ((color_int >> 16) & 0xFF) / 255,
+                ((color_int >> 8) & 0xFF) / 255,
+                (color_int & 0xFF) / 255,
+            )
+
+        channel_data = []
+        for pixels in root.findall(".//ns:Pixels", ns):
+            for channel in pixels.findall("ns:Channel", ns):
+                chan_id = channel.attrib.get("ID")
+                name = channel.attrib.get("Name")
+                color = channel.attrib.get("Color")
+                if not (chan_id and name and color):
+                    continue
+                try:
+                    rgb = int_to_rgb(int(color))
+                except ValueError:
+                    rgb = None
+                channel_data.append({"id": chan_id, "name": name, "rgb": rgb})
+
+        color_dict = {}
+        key_counts: dict = defaultdict(int)
+        for c_data in channel_data:
+            dye = dye_mapping.get(c_data["id"])
+            base_key = f"{c_data['name']} ({dye})" if dye else c_data["name"]
+            count = key_counts[base_key]
+            key = base_key if count == 0 else f"{base_key} [{count + 1}]"
+            color_dict[key] = c_data["rgb"]
+            key_counts[base_key] += 1
+        return color_dict or None
 
     def _info(self) -> WSIMeta:
         pages = [self.tiff.pages[i] for i in self._level_pages]
