@@ -173,3 +173,61 @@ class TestEngineRun:
         assert prepare_engines_save_dir(
             tmp_path / "d", patch_mode=True, overwrite=True
         ).exists()
+
+    def test_reference_run_params_accepted(self, small_model, tmp_path) -> None:
+        """device/num_workers/output_file (reference EngineABCRunParams)."""
+        engine = TestEngine(small_model, batch_size=4, num_loader_workers=0)
+        patches = np.stack(
+            [synthetic_he_patch((32, 32), seed=s) for s in range(4)]
+        )
+        out = engine.run(
+            patches,
+            patch_mode=True,
+            device="cpu",
+            num_workers=2,
+            output_type="zarr",
+            save_dir=tmp_path / "o",
+            output_file="custom.zarr",
+        )
+        assert engine.num_loader_workers == 2
+        assert out.name == "custom.zarr"
+
+    def test_wsireader_kwargs_threaded(self, small_model, slide_path) -> None:
+        """wsireader_kwargs reaches WSIReader.open (mpp override halves grid)."""
+        engine = TestEngine(small_model, batch_size=8, num_loader_workers=0)
+        ioconfig = IOPatchPredictorConfig(
+            input_resolutions=[{"units": "mpp", "resolution": 2.0}],
+            patch_input_shape=(32, 32),
+        )
+        out = engine.run(
+            [slide_path],
+            patch_mode=False,
+            ioconfig=ioconfig,
+            auto_get_mask=False,
+            wsireader_kwargs={"mpp": (1.0, 1.0)},  # slide metadata is 0.5
+        )
+        # true mpp 0.5 gives a 48-patch grid at 2.0 mpp; claiming mpp 1.0
+        # doubles the apparent scale → 16x12 grid
+        assert out[slide_path]["probabilities"].shape[0] == 192
+
+    def test_model_preproc_applied(self, slide_path) -> None:
+        """Engines must apply the model's own preproc (regression)."""
+        model = CNNModel("resnet18", num_classes=3)
+        model.init(input_shape=(1, 32, 32, 3))
+        seen = []
+
+        def spy_preproc(image):
+            seen.append(image.shape)
+            return image
+
+        model.preproc_func = spy_preproc
+        engine = TestEngine(model, batch_size=4, num_loader_workers=0)
+        patches = np.stack(
+            [synthetic_he_patch((32, 32), seed=s) for s in range(3)]
+        )
+        engine.run(patches, patch_mode=True)
+        assert len(seen) == 3
+
+        # default preproc_func is the model's own preproc staticmethod
+        model2 = CNNModel("resnet18", num_classes=3)
+        assert model2.preproc_func is model2.preproc
