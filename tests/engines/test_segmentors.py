@@ -153,3 +153,141 @@ class TestRegistry:
             io_cfg = io_cls(**cfg["ioconfig"].get("kwargs", {}))
             assert model is not None, name
             assert io_cfg.patch_input_shape is not None, name
+
+
+class TestMultiTaskTileMode:
+    """Reference 4-pass tile postproc (grid/strips/cross) invariants."""
+
+    @staticmethod
+    def _blob_model():
+        """Fake model whose postproc labels connected blobs."""
+        from scipy import ndimage
+
+        class BlobModel:
+            @staticmethod
+            def postproc_func(maps):
+                binary = np.asarray(maps[0])[..., 0] > 0.5
+                labelled, n = ndimage.label(binary)
+                boxes, centroids, contours, probs, types = [], [], [], [], []
+                for i in range(1, n + 1):
+                    ys, xs = np.nonzero(labelled == i)
+                    boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+                    centroids.append([xs.mean(), ys.mean()])
+                    contours.append(
+                        np.array([[xs.min(), ys.min()], [xs.max(), ys.max()]])
+                    )
+                    probs.append(1.0)
+                    types.append(1)
+                info = {
+                    "box": np.array(boxes, dtype=object),
+                    "centroid": np.array(centroids, dtype=object),
+                    "contours": np.array(contours, dtype=object),
+                    "prob": np.array(probs, dtype=object),
+                    "type": np.array(types, dtype=object),
+                }
+                return (
+                    {
+                        "task_type": "nuclei",
+                        "info_dict": info,
+                        "seg_type": "instance",
+                    },
+                )
+
+        return BlobModel()
+
+    @staticmethod
+    def _disk_map(w: int, h: int, seed: int = 0):  # noqa: ARG004
+        """Binary map of small disks on a 40-px lattice + boundary blobs.
+
+        Deterministic placements avoid the reference scheme's known
+        measure-zero losses (nuclei whose extent ends exactly at a
+        strip's outer pixel are disowned by both grid and strip passes
+        in the reference too); boundary-straddling blobs at the 256-px
+        tile lines and corners exercise the dedup passes.
+        """
+        import cv2
+
+        img = np.zeros((h, w, 1), np.float32)
+        for x in range(20, w - 6, 40):
+            for y in range(20, h - 6, 40):
+                cv2.circle(img[..., 0], (x, y), 4, 1.0, -1)
+        # blobs straddling tile boundaries and the corner cross-section
+        for x, y in [(256, 100), (512, 100), (256, 440), (100, 256), (600, 256),
+                     (256, 256), (512, 256)]:
+            cv2.circle(img[..., 0], (x, y), 4, 1.0, -1)
+        return img
+
+    def test_tile_mode_matches_full(self) -> None:
+        from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
+            MultiTaskSegmentor,
+        )
+
+        seg = MultiTaskSegmentor.__new__(MultiTaskSegmentor)
+        seg.model = self._blob_model()
+        seg.tile_shape = (256, 256)
+        seg.margin = 32
+        w, h = 700, 520
+        head_map = self._disk_map(w, h)
+
+        full = seg._results_to_instance_dict(
+            seg.model.postproc_func([head_map]), offset=(0, 0)
+        )
+        tiled = seg._process_tile_mode([head_map], (w, h))
+
+        assert len(tiled) == len(full)
+        full_centroids = np.array(
+            sorted(tuple(np.asarray(i["centroid"], float)) for i in full.values())
+        )
+        tiled_centroids = np.array(
+            sorted(tuple(np.asarray(i["centroid"], float)) for i in tiled.values())
+        )
+        assert np.allclose(full_centroids, tiled_centroids, atol=1e-6)
+
+    def test_tile_info_structure(self) -> None:
+        from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
+            MultiTaskSegmentor,
+        )
+
+        seg = MultiTaskSegmentor.__new__(MultiTaskSegmentor)
+        seg.tile_shape = (256, 256)
+        seg.margin = 32
+        sets = seg._get_tile_info((700, 520))
+        assert len(sets) == 4
+        grid_boxes, grid_flags = sets[0]
+        # 3x2 grid (700x520 at 256 tiles → ceil grid plus boundary clamp)
+        assert grid_boxes.shape[1] == 4
+        # boundary sides never flagged for removal
+        top_row = grid_boxes[:, 1] == 0
+        assert not grid_flags[top_row, 0].any()
+        left_col = grid_boxes[:, 0] == 0
+        assert not grid_flags[left_col, 2].any()
+        # vertical strips are 2*margin wide; horizontal 2*margin tall
+        v_boxes, v_flags = sets[1]
+        assert np.all(v_boxes[:, 2] - v_boxes[:, 0] == 64)
+        assert np.all(v_flags[:, [2, 3]] == 0)
+        h_boxes, h_flags = sets[2]
+        assert np.all(h_boxes[:, 3] - h_boxes[:, 1] == 64)
+        assert np.all(h_flags[:, [0, 1]] == 0)
+        x_boxes, x_flags = sets[3]
+        assert np.all(x_boxes[:, 2] - x_boxes[:, 0] == 128)
+        assert np.all(x_flags == 1)
+        # a tile fitting fully → single set, no removal
+        small = seg._get_tile_info((100, 100))
+        assert len(small) == 1
+        assert not small[0][1].any()
+
+    def test_small_image_single_tile(self) -> None:
+        from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
+            MultiTaskSegmentor,
+        )
+
+        seg = MultiTaskSegmentor.__new__(MultiTaskSegmentor)
+        seg.model = self._blob_model()
+        seg.tile_shape = (1024, 1024)
+        seg.margin = 32
+        head_map = self._disk_map(300, 200, seed=3)
+        full = seg._results_to_instance_dict(
+            seg.model.postproc_func([head_map]), offset=(0, 0)
+        )
+        tiled = seg._process_tile_mode([head_map], (300, 200))
+        assert len(tiled) == len(full)

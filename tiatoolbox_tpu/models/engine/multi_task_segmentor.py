@@ -4,11 +4,11 @@ Reference: ``models/engine/multi_task_segmentor.py`` (3.8k LoC). The
 HoVer-Net-family forward runs as one fused device program per batch;
 per-head probability canvases are stitched like the semantic engine;
 instance post-processing (watershed + contours, host-side) runs either
-on the full merged maps (small WSIs) or tile-by-tile with a margin and
-boundary dedup (large WSIs) — the reference's 4-pass scheme
-(``_get_tile_info`` :1362) is replaced by a single overlapped-tile pass
-with centre-region instance selection, which yields the same
-deduplicated WSI-space instance dict.
+on the full merged maps (small WSIs) or tile-by-tile using the
+reference's 4-pass scheme (``_get_tile_info`` :1362-1553 and
+``_process_instance_predictions`` :2833-3040): grid tiles, vertical
+and horizontal boundary strips, and cross-section tiles, each with
+per-side removal flags so every instance is owned by exactly one pass.
 """
 
 from __future__ import annotations
@@ -159,33 +159,223 @@ class MultiTaskSegmentor(SemanticSegmentor):
             instances = self._process_tile_mode(head_maps, canvas_wh)
         return {"instances": instances, "canvas_wh": canvas_wh}
 
-    def _process_tile_mode(self, head_maps, canvas_wh) -> dict:
-        """Overlapped-tile postproc with centre-region dedup.
+    # -- reference 4-pass tile scheme --------------------------------------------------
 
-        Tiles of ``tile_shape`` with ``margin`` overlap; only instances
-        whose centroid falls inside the tile's core (non-margin) region
-        are kept, so each instance is claimed by exactly one tile.
+    @staticmethod
+    def _boxes_intersect(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
+        """Inclusive box-vs-box intersection (shapely STRtree.query semantics)."""
+        if len(boxes) == 0:
+            return np.zeros(0, dtype=bool)
+        return (
+            (boxes[:, 0] <= query[2])
+            & (boxes[:, 2] >= query[0])
+            & (boxes[:, 1] <= query[3])
+            & (boxes[:, 3] >= query[1])
+        )
+
+    @staticmethod
+    def _boxes_contained(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
+        """Boxes fully within query (shared edges allowed)."""
+        if len(boxes) == 0:
+            return np.zeros(0, dtype=bool)
+        return (
+            (boxes[:, 0] >= query[0])
+            & (boxes[:, 1] >= query[1])
+            & (boxes[:, 2] <= query[2])
+            & (boxes[:, 3] <= query[3])
+        )
+
+    def _get_tile_info(self, image_shape) -> list:
+        """Four tile sets + per-side removal flags (reference :1362-1553).
+
+        Returns [[boxes, flags], ...] for (0) grid tiles, (1) vertical
+        boundary strips, (2) horizontal boundary strips, (3)
+        cross-section tiles. ``flags`` columns are [top, bottom, left,
+        right]; 1 = instances in that side's margin are removed (owned
+        by a later pass), unset on WSI-boundary sides.
         """
-        tw, th = self.tile_shape
+        from tiatoolbox_tpu.tools.patchextraction import PatchExtractor
+
         margin = self.margin
+        w, h = int(image_shape[0]), int(image_shape[1])
+        tile_shape = np.array(self.tile_shape, dtype=np.int32)
+        boxes = PatchExtractor.get_coordinates(
+            image_shape=(w, h),
+            patch_input_shape=tuple(tile_shape),
+            stride_shape=tuple(tile_shape),
+        ).astype(np.int64)
+
+        if w <= tile_shape[0] and h <= tile_shape[1]:
+            return [[boxes, np.zeros((boxes.shape[0], 4), dtype=np.int32)]]
+
+        edge_lines = (
+            np.array([0, 0, w, 0]),  # top
+            np.array([0, h, w, h]),  # bottom
+            np.array([0, 0, 0, h]),  # left
+            np.array([w, 0, w, h]),  # right
+        )
+
+        def unset_boundary(tile_boxes: np.ndarray, flags: np.ndarray) -> np.ndarray:
+            for idx, line in enumerate(edge_lines):
+                flags[self._boxes_intersect(tile_boxes, line), idx] = 0
+            return flags
+
+        flag = unset_boundary(boxes, np.ones((boxes.shape[0], 4), np.int32))
+        info = [[boxes, flag]]
+
+        # vertical strips around removed right edges: top/bottom flagged
+        sel = np.nonzero(flag[:, 3])[0]
+        v_boxes = np.stack(
+            [
+                boxes[sel, 2] - margin,
+                boxes[sel, 1],
+                boxes[sel, 2] + margin,
+                boxes[sel, 3],
+            ],
+            axis=-1,
+        )
+        v_flag = np.zeros((v_boxes.shape[0], 4), np.int32)
+        v_flag[:, [0, 1]] = 1
+        info.append([v_boxes, unset_boundary(v_boxes, v_flag)])
+
+        # horizontal strips around removed bottom edges: left/right flagged
+        sel = np.nonzero(flag[:, 1])[0]
+        h_boxes = np.stack(
+            [
+                boxes[sel, 0],
+                boxes[sel, 3] - margin,
+                boxes[sel, 2],
+                boxes[sel, 3] + margin,
+            ],
+            axis=-1,
+        )
+        h_flag = np.zeros((h_boxes.shape[0], 4), np.int32)
+        h_flag[:, [2, 3]] = 1
+        info.append([h_boxes, unset_boundary(h_boxes, h_flag)])
+
+        # cross-sections at removed bottom-right corners: all sides flagged
+        sel = np.nonzero(flag[:, 1] * flag[:, 3])[0]
+        x_boxes = np.stack(
+            [
+                boxes[sel, 2] - 2 * margin,
+                boxes[sel, 3] - 2 * margin,
+                boxes[sel, 2] + 2 * margin,
+                boxes[sel, 3] + 2 * margin,
+            ],
+            axis=-1,
+        )
+        info.append([x_boxes, np.ones((x_boxes.shape[0], 4), np.int32)])
+        return info
+
+    def _select_tile_removals(
+        self,
+        inst_boxes: np.ndarray,
+        tile_wh,
+        tile_flag,
+        tile_mode: int,
+    ) -> np.ndarray:
+        """Instance indices to drop within one tile (reference :2952-3013).
+
+        Modes 0/3: drop instances fully contained in a flagged margin.
+        Modes 1/2: drop instances intersecting flagged margins or
+        touching unflagged tile boundaries.
+        """
+        width, height = tile_wh
+        margin = self.margin
+        boundary_lines = (
+            np.array([0, 0, width, 1]),
+            np.array([0, height - 1, width, height]),
+            np.array([0, 0, 1, height]),
+            np.array([width - 1, 0, width, height]),
+        )
+        margin_boxes = (
+            np.array([0, 0, width, margin]),
+            np.array([0, height - margin, width, height]),
+            np.array([0, 0, margin, height]),
+            np.array([width - margin, 0, width, height]),
+        )
+        removal = np.zeros(len(inst_boxes), dtype=bool)
+        if tile_mode in (0, 3):
+            for idx in range(4):
+                if tile_flag[idx] or tile_mode == 3:
+                    removal |= self._boxes_contained(inst_boxes, margin_boxes[idx])
+        else:
+            for idx in range(4):
+                query = margin_boxes[idx] if tile_flag[idx] else boundary_lines[idx]
+                removal |= self._boxes_intersect(inst_boxes, query)
+        return removal
+
+    def _margin_lines(self, tile_box) -> list:
+        """Inset margin-line boxes in WSI space (reference :3014-3028)."""
+        x0, y0, x1, y1 = (int(v) for v in tile_box)
+        width, height = x1 - x0, y1 - y0
+        m = self.margin
+        lines = [
+            [m, m, width - m, m],
+            [m, height - m, width - m, height - m],
+            [m, m, m, height - m],
+            [width - m, m, width - m, height - m],
+        ]
+        return [np.array(line) + np.array([x0, y0, x0, y0]) for line in lines]
+
+    def _process_tile_mode(self, head_maps, canvas_wh) -> dict:
+        """Reference 4-pass tile postproc with margin-flag dedup.
+
+        Pass 0 processes grid tiles dropping flagged-margin instances;
+        passes 1/2 own the vertical/horizontal boundary bands; pass 3
+        owns the cross-sections and additionally evicts previously
+        accumulated instances cut by its margin lines
+        (``_process_instance_predictions`` :2833-3040).
+        """
+        w, h = int(canvas_wh[0]), int(canvas_wh[1])
         instances: dict = {}
-        w, h = canvas_wh
-        for ty0 in range(0, h, th):
-            for tx0 in range(0, w, tw):
-                rx0, ry0 = max(tx0 - margin, 0), max(ty0 - margin, 0)
-                rx1 = min(tx0 + tw + margin, w)
-                ry1 = min(ty0 + th + margin, h)
-                maps = [np.asarray(m[ry0:ry1, rx0:rx1]) for m in head_maps]
+        tile_sets = self._get_tile_info((w, h))
+        for tile_mode, (boxes, flags) in enumerate(tile_sets):
+            for tile_box, tile_flag in zip(boxes, flags):
+                # slice clipped to the canvas; removal geometry uses the
+                # NOMINAL bounds (reference :1256-1258 tile_shape =
+                # tile_br - tile_tl from the unclipped tile info).
+                nx0, ny0 = int(tile_box[0]), int(tile_box[1])
+                nx1, ny1 = int(tile_box[2]), int(tile_box[3])
+                x0, y0 = max(nx0, 0), max(ny0, 0)
+                x1, y1 = min(nx1, w), min(ny1, h)
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                maps = [np.asarray(m[y0:y1, x0:x1]) for m in head_maps]
                 results = self.model.postproc_func(maps)
                 tile_instances = self._results_to_instance_dict(
-                    results, offset=(rx0, ry0)
+                    results, offset=(x0 - nx0, y0 - ny0)
                 )
-                core_x1 = min(tx0 + tw, w)
-                core_y1 = min(ty0 + th, h)
-                for key, info in tile_instances.items():
-                    cx, cy = info["centroid"]
-                    if tx0 <= cx < core_x1 and ty0 <= cy < core_y1:
-                        instances[key] = info
+                if not tile_instances:
+                    continue
+                keys = list(tile_instances)
+                inst_boxes = np.array(
+                    [np.asarray(tile_instances[k]["box"], float) for k in keys]
+                )
+                removal = self._select_tile_removals(
+                    inst_boxes, (nx1 - nx0, ny1 - ny0), tile_flag, tile_mode
+                )
+                if tile_mode == 3:
+                    # evict accumulated instances cut by this tile's margin lines
+                    acc_keys = list(instances)
+                    if acc_keys:
+                        acc_boxes = np.array(
+                            [np.asarray(instances[k]["box"], float) for k in acc_keys]
+                        )
+                        evict = np.zeros(len(acc_keys), dtype=bool)
+                        for line in self._margin_lines((nx0, ny0, nx1, ny1)):
+                            evict |= self._boxes_intersect(acc_boxes, line)
+                        for k in np.asarray(acc_keys)[evict]:
+                            instances.pop(k, None)
+                offset = np.array([nx0, ny0])
+                for k, keep in zip(keys, ~removal):
+                    if not keep:
+                        continue
+                    info = tile_instances[k]
+                    info["box"] = np.asarray(info["box"]) + np.tile(offset, 2)
+                    info["centroid"] = np.asarray(info["centroid"]) + offset
+                    info["contours"] = np.asarray(info["contours"]) + offset
+                    instances[k] = info
         return instances
 
     @staticmethod
