@@ -291,3 +291,62 @@ class TestMultiTaskTileMode:
         )
         tiled = seg._process_tile_mode([head_map], (300, 200))
         assert len(tiled) == len(full)
+
+
+class TestPromptSegmentor:
+    """PromptSegmentor orchestration with a stub SAM model."""
+
+    class _StubSAM:
+        def infer_batch(self, images, point_coords=None, box_coords=None):
+            masks = []
+            for i, img in enumerate(np.asarray(images)):
+                h, w = img.shape[:2]
+                mask = np.zeros((1, 3, h, w), bool)
+                if point_coords is not None:
+                    x, y = (int(v) for v in np.asarray(point_coords[i])[0])
+                    mask[0, 0, max(y - 5, 0) : y + 5, max(x - 5, 0) : x + 5] = True
+                if box_coords is not None:
+                    x0, y0, x1, y1 = (int(v) for v in np.asarray(box_coords[i])[0])
+                    mask[0, 1, y0:y1, x0:x1] = True
+                masks.append(mask)
+            return masks
+
+    def test_run_saves_stores(self, tmp_path) -> None:
+        from tiatoolbox_tpu.annotation.storage import SQLiteStore
+        from tiatoolbox_tpu.models.engine.prompt_segmentor import PromptSegmentor
+
+        seg = PromptSegmentor(model=self._StubSAM())
+        images = [np.zeros((64, 64, 3), np.uint8)] * 2
+        points = np.array([[[20, 20]], [[40, 40]]])
+        paths = seg.run(images, point_coords=points, save_dir=tmp_path / "p")
+        assert len(paths) == 2
+        store = SQLiteStore(paths[0])
+        anns = list(store.values())
+        assert len(anns) == 1
+        x0, y0, x1, y1 = anns[0].geometry.bounds
+        assert 14 <= x0 <= 16 and 14 <= y0 <= 16  # around the point prompt
+
+    def test_offset_and_scale(self, tmp_path) -> None:
+        from tiatoolbox_tpu.annotation.storage import SQLiteStore
+        from tiatoolbox_tpu.models.engine.prompt_segmentor import PromptSegmentor
+
+        seg = PromptSegmentor(model=self._StubSAM())
+        mpp, scale = seg.calc_mpp((3000, 1500), base_mpp=0.5)
+        assert scale == 2.0 and mpp == 1.0
+        seg.offset = np.array([100, 200])
+        images = [np.zeros((64, 64, 3), np.uint8)]
+        boxes = np.array([[[10, 10, 30, 30]]])
+        paths = seg.run(images, box_coords=boxes, save_dir=tmp_path / "q")
+        store = SQLiteStore(paths[0])
+        x0, y0, _, _ = next(iter(store.values())).geometry.bounds
+        # scaled by 2 then offset by (100, 200)
+        assert x0 == 120 and y0 == 220
+
+    def test_requires_prompts(self, tmp_path) -> None:
+        import pytest
+
+        from tiatoolbox_tpu.models.engine.prompt_segmentor import PromptSegmentor
+
+        seg = PromptSegmentor(model=self._StubSAM())
+        with pytest.raises(ValueError, match="point_coords or box_coords"):
+            seg.run([np.zeros((8, 8, 3), np.uint8)], save_dir=tmp_path)

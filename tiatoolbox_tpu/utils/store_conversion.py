@@ -122,15 +122,27 @@ def dict_to_store_semantic_segmentor(
     scale_factor=(1.0, 1.0),
     class_dict: dict | None = None,
     save_path: Path | None = None,
+    offset=(0, 0),
 ):
-    """Semantic-segmentation prediction map → contour-polygon store."""
+    """Semantic-segmentation prediction map → contour-polygon store.
+
+    ``offset`` translates polygons into slide space (reference
+    ``utils/misc.py dict_to_store_semantic_segmentor`` offset arg, used
+    by the prompt segmentor for interactively selected tiles).
+    """
     predictions = np.asarray(output["predictions"])
     classes = [int(c) for c in np.unique(predictions) if c != 0]
     store = SQLiteStore(save_path if save_path is not None else ":memory:")
     annotations = []
+    off_x, off_y = (float(v) for v in offset)
     for class_value in classes:
         label = class_dict.get(class_value, class_value) if class_dict else class_value
         for poly in process_contours(predictions, class_value, scale_factor):
+            if off_x or off_y:
+                shift = np.array([off_x, off_y])
+                poly = Polygon(
+                    poly.shell + shift, [h + shift for h in poly.holes]
+                )
             annotations.append(Annotation(poly, {"type": label}))
     store.append_many(annotations)
     store.commit()
