@@ -97,6 +97,8 @@ class WSIReader:
         last = suffixes[-1] if suffixes else ""
         if last == ".npy":
             return VirtualWSIReader(np.load(str(path)), mpp=mpp, power=power, **kwargs)
+        if last == ".mrxs":
+            return MIRAXWSIReader(path, mpp=mpp, power=power)
         if magic.is_dcm(path) or last == ".dcm":
             return DICOMWSIReader(path, mpp=mpp, power=power)
         if magic.is_tiff(path):
@@ -945,6 +947,49 @@ class TIFFWSIReader(WSIReader):
         return self.tiff.read_region(
             page_index, tuple(int(v) for v in location), tuple(int(v) for v in size)
         )
+
+
+class MIRAXWSIReader(WSIReader):
+    """3DHISTECH MIRAX (.mrxs) reader on the native ``mirax`` parser.
+
+    The reference serves MRXS through OpenSlide
+    (``wsireader.py:459,1978``); this implements the container
+    directly (see ``wsicore/mirax.py``).
+    """
+
+    def __init__(self, input_img, mpp=None, power=None, post_proc=None) -> None:
+        super().__init__(input_img, mpp=mpp, power=power, post_proc=post_proc)
+        from tiatoolbox_tpu.wsicore.mirax import MiraxFile
+
+        self.mirax = MiraxFile(self.input_path)
+
+    def _info(self) -> WSIMeta:
+        level_dims = [
+            self.mirax.level_dimensions(lvl)
+            for lvl in range(len(self.mirax.levels))
+        ]
+        base = level_dims[0]
+        downsamples = [base[0] / d[0] for d in level_dims]
+        mpp = self.mirax.levels[0].mpp_xy
+        objective_power = None
+        if mpp is not None:
+            mpp = np.array(mpp)
+            objective_power = float(utils.misc.mpp2common_objective_power(mpp[0]))
+        return WSIMeta(
+            file_path=self.input_path,
+            axes="YXS",
+            slide_dimensions=base,
+            level_dimensions=level_dims,
+            level_downsamples=downsamples,
+            level_count=len(level_dims),
+            vendor="3DHISTECH",
+            mpp=mpp,
+            objective_power=objective_power,
+            raw={"slide_id": self.mirax.slide_id},
+        )
+
+    def _read_level_within(self, location, size, level: int) -> np.ndarray:
+        return self.mirax.read_region(level, location, size)
 
 
 class JP2WSIReader(WSIReader):
