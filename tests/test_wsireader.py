@@ -245,3 +245,24 @@ class TestDispatch:
         assert reader.info.slide_dimensions == (300, 200)
         region = reader.read_rect((0, 0), (64, 64))
         assert region.shape == (64, 64, 3)
+
+    def test_jp2_lazy_reduced_decode(self, tmp_path) -> None:
+        """Low-res JP2 reads use reduced decoding, never full-res."""
+        import cv2
+
+        img = synthetic_he_patch((2048, 1536), seed=5)
+        path = tmp_path / "big.jp2"
+        cv2.imwrite(str(path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        reader = WSIReader.open(path)
+        # dims from the SIZ header: nothing decoded yet
+        assert reader.info.slide_dimensions == (2048, 1536)
+        assert reader._planes == {}
+        thumb = reader.slide_thumbnail(resolution=2, units="level")
+        assert thumb.shape[1] == 512
+        assert 1 not in reader._planes  # full plane never materialised
+        assert 4 in reader._planes
+        # a full-res read decodes level 0 and matches the source closely
+        region = reader.read_rect((100, 100), (64, 64), resolution=0, units="level")
+        assert 1 in reader._planes
+        src = img[100:164, 100:164]
+        assert np.abs(region.astype(int) - src.astype(int)).mean() < 4

@@ -993,24 +993,81 @@ class MIRAXWSIReader(WSIReader):
 
 
 class JP2WSIReader(WSIReader):
-    """JPEG-2000 reader via full-image OpenCV decode.
+    """JPEG-2000 reader with lazy reduced-resolution decoding.
 
-    Suitable for modest jp2 files; a streaming OpenJPEG C++ backend is
-    the planned upgrade path for gigapixel jp2.
+    Slide dimensions come from the J2K ``SIZ`` marker without any
+    decode; pixel data is decoded lazily per power-of-two scale using
+    OpenJPEG's reduced-resolution path (``cv2.IMREAD_REDUCED_*``), so
+    thumbnails and tissue masks never materialise the full-resolution
+    image. Decoded planes are cached in spill-aware smart arrays
+    (zarr-backed above the RAM threshold). A full-resolution decode
+    happens only when a level-0 read is requested.
     """
+
+    #: reduced-decode scales supported by OpenJPEG via OpenCV
+    _SCALES = (8, 4, 2, 1)
 
     def __init__(self, input_img, mpp=None, power=None) -> None:
         super().__init__(input_img, mpp=mpp, power=power)
-        img = cv2.imread(str(self.input_path), cv2.IMREAD_UNCHANGED)
+        parsed = self._parse_j2k_size(self.input_path)
+        if parsed is None:
+            msg = f"Could not parse JP2 codestream header: {self.input_path}"
+            raise FileNotSupportedError(msg)
+        self._base_wh, self._n_channels = parsed
+        self._planes: dict[int, np.ndarray] = {}
+        # Parse capture-resolution box for mpp if present.
+        self._file_mpp = self._parse_jp2_mpp(self.input_path)
+
+    @staticmethod
+    def _parse_j2k_size(path: Path) -> tuple[tuple[int, int], int] | None:
+        """(width, height), components from the SIZ marker (no decode)."""
+        import struct as _struct
+
+        try:
+            head = path.read_bytes()[: 1 << 16]
+        except OSError:  # pragma: no cover
+            return None
+        soc = head.find(b"\xff\x4f\xff\x51")  # SOC immediately before SIZ
+        if soc < 0 or soc + 42 > len(head):
+            return None
+        siz = soc + 2
+        (xsiz, ysiz, xosiz, yosiz) = _struct.unpack_from(">IIII", head, siz + 6)
+        (csiz,) = _struct.unpack_from(">H", head, siz + 38)
+        return ((xsiz - xosiz, ysiz - yosiz), int(csiz))
+
+    def _decode_plane(self, scale: int) -> np.ndarray:
+        """Decode the image at 1/scale resolution (cached)."""
+        if scale in self._planes:
+            return self._planes[scale]
+        grey = self._n_channels == 1
+        flags = {
+            1: cv2.IMREAD_GRAYSCALE if grey else cv2.IMREAD_COLOR,
+            2: cv2.IMREAD_REDUCED_GRAYSCALE_2 if grey else cv2.IMREAD_REDUCED_COLOR_2,
+            4: cv2.IMREAD_REDUCED_GRAYSCALE_4 if grey else cv2.IMREAD_REDUCED_COLOR_4,
+            8: cv2.IMREAD_REDUCED_GRAYSCALE_8 if grey else cv2.IMREAD_REDUCED_COLOR_8,
+        }[scale]
+        img = cv2.imread(str(self.input_path), flags)
+        if img is None and scale != 1:  # old OpenCV: no reduced jp2 decode
+            full = self._decode_plane(1)
+            img = imresize(full, scale_factor=1.0 / scale)
+            self._planes[scale] = img
+            return img
         if img is None:
             msg = f"Could not decode JP2 file: {self.input_path}"
             raise FileNotSupportedError(msg)
         if img.ndim == 3 and img.shape[2] == 3:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        self.img = img
-        self._n_channels = 1 if img.ndim == 2 else img.shape[2]
-        # Parse capture-resolution box for mpp if present.
-        self._file_mpp = self._parse_jp2_mpp(self.input_path)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        # spill big planes to a zarr-backed smart array
+        if img.nbytes > (64 << 20):
+            from tiatoolbox_tpu.utils.zarrlite import create_smart_array
+
+            holder = create_smart_array(img.shape, img.dtype, name=f"jp2_s{scale}")
+            holder[:] = img
+            img = holder
+        self._planes[scale] = img
+        return img
 
     @staticmethod
     def _parse_jp2_mpp(path: Path) -> tuple[float, float] | None:
@@ -1035,7 +1092,7 @@ class JP2WSIReader(WSIReader):
         return (1e6 / h_ppm, 1e6 / v_ppm)
 
     def _info(self) -> WSIMeta:
-        h, w = self.img.shape[:2]
+        w, h = self._base_wh
         # Virtual pyramid of power-of-two levels down to ~512px.
         level_dims = [(w, h)]
         while min(level_dims[-1]) > 512:
@@ -1061,10 +1118,16 @@ class JP2WSIReader(WSIReader):
 
     def _read_level_within(self, location, size, level: int) -> np.ndarray:
         ds = self.info.level_downsamples[level]
-        x0, y0 = int(location[0] * ds), int(location[1] * ds)
-        w0, h0 = int(size[0] * ds), int(size[1] * ds)
-        region = self.img[y0 : y0 + h0, x0 : x0 + w0]
-        if ds != 1:
+        # decode at the coarsest reduced scale that still covers ds
+        scale = next(s for s in self._SCALES if s <= ds or s == 1)
+        plane = self._decode_plane(scale)
+        rel = ds / scale
+        x0 = int(location[0] * ds / scale)
+        y0 = int(location[1] * ds / scale)
+        w0 = max(int(size[0] * rel), 1)
+        h0 = max(int(size[1] * rel), 1)
+        region = np.asarray(plane[y0 : y0 + h0, x0 : x0 + w0])
+        if rel != 1:
             region = imresize(region, output_size=(int(size[0]), int(size[1])))
         if region.ndim == 2:
             region = region[:, :, None]
