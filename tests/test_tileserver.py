@@ -233,3 +233,189 @@ class TestCLI:
         )
         assert result.exit_code == 0, result.output
         assert (tmp_path / "thumbs" / "s_thumb.png").exists()
+
+
+class TestControlAPI:
+    """Session-scoped control routes (reference tileserver API)."""
+
+    @pytest.fixture(scope="class")
+    def api(self, slide_path, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("ctl")
+        store_path = tmp / "anns.db"
+        store = SQLiteStore(store_path)
+        store.append_many(
+            [
+                Annotation(
+                    Polygon.from_bounds(10, 10, 50, 50),
+                    {"type": "tumour", "prob": 0.9},
+                ),
+                Annotation(
+                    Polygon.from_bounds(60, 60, 90, 90),
+                    {"type": "stroma", "prob": 0.4},
+                ),
+            ]
+        )
+        store.commit()
+        store.close()
+        server = TileServer(layers={"slide": str(slide_path)})
+        httpd, port = server.run_in_thread()
+        yield {"port": port, "store_path": store_path, "slide": slide_path,
+               "server": server, "tmp": tmp}
+        httpd.shutdown()
+
+    @staticmethod
+    def _call(port, path, method="GET", **params):
+        import urllib.parse
+
+        data = urllib.parse.urlencode(params).encode() if params else None
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=data, method=method
+        )
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+
+    def test_session_lifecycle(self, api) -> None:
+        status, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        assert status == 200
+        sid = out["session_id"]
+        assert sid in api["server"].sessions
+        status, out = self._call(
+            api["port"], f"/tileserver/reset/{sid}", "PUT"
+        )
+        assert out["reset"] == sid
+        assert sid not in api["server"].sessions
+
+    def test_change_slide_and_overlay(self, api) -> None:
+        _, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        sid = out["session_id"]
+        _, out = self._call(
+            api["port"], "/tileserver/slide", "PUT",
+            session_id=sid, slide_path=str(api["slide"]),
+        )
+        assert out["slide"] == str(api["slide"])
+        _, out = self._call(
+            api["port"], "/tileserver/slide", "GET", session_id=sid
+        )
+        assert out["slide"] == str(api["slide"])
+        # load annotations; returns the types present
+        _, out = self._call(
+            api["port"], "/tileserver/annotations", "PUT",
+            session_id=sid, file_path=str(api["store_path"]),
+        )
+        assert out["types"] == ["stroma", "tumour"]
+        # session tile for the overlay renders
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api['port']}/tileserver/layer/overlay/{sid}"
+            "/zoomify/TileGroup0/0-0-0.jpg"
+        ) as resp:
+            assert resp.status == 200
+        # introspection
+        _, out = self._call(
+            api["port"], "/tileserver/prop_names/all", session_id=sid
+        )
+        assert out["prop_names"] == ["prob", "type"]
+        _, out = self._call(
+            api["port"], "/tileserver/prop_values/type/all", session_id=sid
+        )
+        assert out["prop_values"] == ["stroma", "tumour"]
+        _, out = self._call(
+            api["port"], "/tileserver/prop_range", "PUT",
+            session_id=sid, prop="prob",
+        )
+        assert out["range"] == [0.4, 0.9]
+        # renderer updates
+        _, out = self._call(
+            api["port"], "/tileserver/color_prop", "PUT",
+            session_id=sid, prop="prob",
+        )
+        assert out["color_prop"] == "prob"
+        _, out = self._call(
+            api["port"], "/tileserver/renderer/edge_thickness", "PUT",
+            session_id=sid, val="3",
+        )
+        assert out["edge_thickness"] == 3
+        _, out = self._call(
+            api["port"], "/tileserver/renderer/edge_thickness", "GET",
+            session_id=sid,
+        )
+        assert out["edge_thickness"] == 3
+        _, out = self._call(
+            api["port"], "/tileserver/cmap", "PUT",
+            session_id=sid, cmap='{"tumour": [255, 0, 0, 255]}',
+        )
+        assert out["cmap"].startswith("{")
+        # commit to a new path
+        save_path = api["tmp"] / "edited.db"
+        _, out = self._call(
+            api["port"], "/tileserver/commit", "POST",
+            session_id=sid, save_path=str(save_path),
+        )
+        assert out["committed"] and save_path.exists()
+        # clear overlays keeps the slide
+        _, out = self._call(
+            api["port"], "/tileserver/clear_overlays", "PUT", session_id=sid
+        )
+        assert out["removed"] == ["overlay"]
+        _, out = self._call(
+            api["port"], "/tileserver/slide", "GET", session_id=sid
+        )
+        assert out["slide"] == str(api["slide"])
+
+    def test_unknown_control_route(self, api) -> None:
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._call(api["port"], "/tileserver/nonsense", "PUT")
+        assert err.value.code == 404
+
+    def test_channels_on_rgb_slide(self, api) -> None:
+        # RGB slides have no multichannel post_proc: channels is None
+        _, out = self._call(api["port"], "/tileserver/channels", "GET")
+        assert out["channels"] is None
+
+    def test_channels_and_enhance_multichannel(self, api) -> None:
+        import cv2
+
+        from tiatoolbox_tpu.wsicore.tiffio import TiffPyramidWriter
+
+        chan = "".join(
+            f'<Channel ID="Channel:{i}" Name="C{i}" Color="{c}"/>'
+            for i, c in enumerate(
+                [0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0x00FFFF]
+            )
+        )
+        ome = (
+            '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+            f"<Image><Pixels>{chan}</Pixels></Image></OME>"
+        )
+        img = np.random.default_rng(0).integers(0, 100, (64, 64, 5)).astype(np.uint8)
+        path = api["tmp"] / "multi.ome.tiff"
+        TiffPyramidWriter(
+            path, tile_size=32, description=ome, compression="deflate"
+        ).write([img])
+        _, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        sid = out["session_id"]
+        self._call(
+            api["port"], "/tileserver/slide", "PUT",
+            session_id=sid, slide_path=str(path),
+        )
+        _, out = self._call(
+            api["port"], "/tileserver/channels", "GET", session_id=sid
+        )
+        assert out["names"] == [f"C{i}" for i in range(5)]
+        _, out = self._call(
+            api["port"], "/tileserver/channels", "PUT",
+            session_id=sid, channels="[0, 2]",
+        )
+        assert out["channels"] == [0, 2]
+        _, out = self._call(
+            api["port"], "/tileserver/enhance", "PUT",
+            session_id=sid, val="1.5",
+        )
+        assert out["enhance"] == 1.5
+        # tiles still render after channel selection
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{api['port']}/tileserver/layer/slide/{sid}"
+            "/zoomify/TileGroup0/0-0-0.jpg"
+        ) as resp:
+            assert resp.status == 200

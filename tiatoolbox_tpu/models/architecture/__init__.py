@@ -104,6 +104,15 @@ def get_pretrained_model(
         )
         model.init()
 
+    if "dataset" in cfg:
+        # reference architecture/__init__.py:159 — registry entries tied
+        # to a dataset carry its preprocessing recipe
+        from tiatoolbox_tpu.models.dataset.classification import (
+            predefined_preproc_func,
+        )
+
+        model.preproc_func = predefined_preproc_func(cfg["dataset"])
+
     io_cfg = cfg["ioconfig"]
     io_cls_name = io_cfg["class"].rsplit(".", 1)[-1]
     io_cls = getattr(ioc, io_cls_name)

@@ -1,13 +1,22 @@
 """WSGI tile server (reference ``visualization/tileserver.py:43-893``).
 
-The reference uses Flask; this build serves the same Zoomify routes on
-the stdlib ``wsgiref`` server (zero extra dependencies):
+The reference uses Flask; this build serves the same routes on the
+stdlib ``wsgiref`` server (zero extra dependencies):
 
 - ``/``                                       — minimal viewer page
 - ``/tileserver/layers``                      — JSON layer listing
 - ``/tileserver/layer/<layer>/<session>/zoomify/TileGroup<g>/<z>-<x>-<y>.jpg``
 - ``/tileserver/info/<layer>``                — slide metadata JSON
 - ``/tileserver/tap_query/<layer>/<x>/<y>``   — annotation hit query
+
+plus the session-scoped control API driven by the reference's UI
+(reference :354-866): ``session_id``/``reset``, ``slide`` (change or
+get the slide), ``annotations``/``overlay``/``clear_overlays``,
+renderer properties (``color_prop``, ``cmap``, ``renderer/<prop>``),
+annotation introspection (``prop_names``, ``prop_values``,
+``prop_range``), ``commit`` for persisting edits, and multichannel
+``channels``/``enhance`` controls. State mutations use PUT/POST with
+form-encoded bodies; reads use GET.
 
 Layers are WSIReaders (slides) or AnnotationStores (rendered via
 AnnotationTileGenerator).
@@ -37,15 +46,43 @@ class TileServer:
     """
 
     def __init__(self, title: str = "tiatoolbox-tpu", layers=None, renderer=None) -> None:
+        from tiatoolbox_tpu.utils.visualization import AnnotationRenderer
+
         self.title = title
-        self.renderer = renderer
+        self.renderer = renderer if renderer is not None else AnnotationRenderer()
         self.layers: dict[str, object] = {}
         self.pyramids: dict[str, object] = {}
-        self._base_info = None
+        # session_id -> {"layers", "pyramids", "base_info", "renderer"}
+        # The constructor layers form the shared "default" session;
+        # self.layers/self.pyramids alias its dicts.
+        self.sessions: dict[str, dict] = {
+            "default": {
+                "layers": self.layers,
+                "pyramids": self.pyramids,
+                "base_info": None,
+                "renderer": self.renderer,
+            }
+        }
         for name, layer in (layers or {}).items():
             self.add_layer(name, layer)
 
-    def add_layer(self, name: str, layer) -> None:
+    @property
+    def _base_info(self):
+        return self.sessions["default"]["base_info"]
+
+    def _session(self, session_id: str) -> dict:
+        if session_id not in self.sessions:
+            from tiatoolbox_tpu.utils.visualization import AnnotationRenderer
+
+            self.sessions[session_id] = {
+                "layers": {},
+                "pyramids": {},
+                "base_info": None,
+                "renderer": AnnotationRenderer(),
+            }
+        return self.sessions[session_id]
+
+    def add_layer(self, name: str, layer, session_id: str = "default") -> None:
         """Register a slide or annotation-store layer."""
         from tiatoolbox_tpu.annotation.storage import AnnotationStore
         from tiatoolbox_tpu.tools.pyramid import (
@@ -55,26 +92,28 @@ class TileServer:
         from tiatoolbox_tpu.utils import magic
         from tiatoolbox_tpu.wsicore.wsireader import WSIReader
 
+        state = self._session(session_id)
         if isinstance(layer, AnnotationStore):
-            if self._base_info is None:
+            if state["base_info"] is None:
                 msg = "Add a slide layer before annotation layers."
                 raise ValueError(msg)
-            self.layers[name] = layer
-            self.pyramids[name] = AnnotationTileGenerator(
-                self._base_info, layer, renderer=self.renderer
+            state["layers"][name] = layer
+            state["pyramids"][name] = AnnotationTileGenerator(
+                state["base_info"], layer, renderer=state["renderer"]
             )
             return
         if isinstance(layer, (str, Path)) and (
-            magic.is_sqlite3(layer) or str(layer).endswith(".db")
+            magic.is_sqlite3(layer) or str(layer).endswith((".db", ".geojson",
+                                                            ".ndjson"))
         ):
             store = AnnotationStore.open(layer)
-            self.add_layer(name, store)
+            self.add_layer(name, store, session_id)
             return
         reader = WSIReader.open(layer)
-        self.layers[name] = reader
-        self.pyramids[name] = ZoomifyGenerator(reader)
-        if self._base_info is None:
-            self._base_info = reader.info
+        state["layers"][name] = reader
+        state["pyramids"][name] = ZoomifyGenerator(reader)
+        if state["base_info"] is None:
+            state["base_info"] = reader.info
 
     # -- request handling -------------------------------------------------------
 
@@ -83,9 +122,28 @@ class TileServer:
         r"TileGroup\d+/(?P<z>\d+)-(?P<x>\d+)-(?P<y>\d+)\.jpg$"
     )
 
+    @staticmethod
+    def _read_params(environ) -> dict:
+        """Merge query-string and form-encoded body parameters."""
+        from urllib.parse import parse_qs
+
+        params = {
+            k: v[-1]
+            for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+        }
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            length = 0
+        if length:
+            body = environ["wsgi.input"].read(length).decode()
+            params.update({k: v[-1] for k, v in parse_qs(body).items()})
+        return params
+
     def __call__(self, environ, start_response):
         """WSGI entry point."""
         path = environ.get("PATH_INFO", "/")
+        method = environ.get("REQUEST_METHOD", "GET").upper()
         try:
             if path == "/":
                 return self._respond_html(start_response, self._index_html())
@@ -109,6 +167,11 @@ class TileServer:
                 return self._serve_tap_query(
                     start_response, parts[-3], float(parts[-2]), float(parts[-1])
                 )
+            if path.startswith("/tileserver/"):
+                return self._serve_control(
+                    start_response, method, path[len("/tileserver/"):],
+                    self._read_params(environ),
+                )
             return self._respond_error(start_response, "404 Not Found", "not found")
         except Exception as exc:  # pragma: no cover - server robustness
             logger.warning("TileServer error for %s: %s", path, exc)
@@ -116,13 +179,250 @@ class TileServer:
                 start_response, "500 Internal Server Error", str(exc)
             )
 
+    # -- session control API (reference tileserver.py:354-866) ---------------------
+
+    def _serve_control(self, start_response, method: str, route: str, params: dict):
+        """Dispatch the session-scoped control API."""
+        sid = params.get("session_id", "default")
+        state = self._session(sid)
+        parts = route.strip("/").split("/")
+        handler = {
+            "session_id": self._ctl_session_id,
+            "reset": self._ctl_reset,
+            "slide": self._ctl_slide,
+            "annotations": self._ctl_annotations,
+            "overlay": self._ctl_overlay,
+            "clear_overlays": self._ctl_clear_overlays,
+            "color_prop": self._ctl_color_prop,
+            "cmap": self._ctl_cmap,
+            "renderer": self._ctl_renderer,
+            "prop_names": self._ctl_prop_names,
+            "prop_values": self._ctl_prop_values,
+            "prop_range": self._ctl_prop_range,
+            "commit": self._ctl_commit,
+            "channels": self._ctl_channels,
+            "enhance": self._ctl_enhance,
+        }.get(parts[0])
+        if handler is None:
+            return self._respond_error(start_response, "404 Not Found", "not found")
+        try:
+            payload = handler(method, state, parts[1:], params)
+        except KeyError as exc:
+            return self._respond_error(
+                start_response, "400 Bad Request", f"missing parameter: {exc}"
+            )
+        return self._respond_json(start_response, payload)
+
+    def _ctl_session_id(self, method, state, extra, params):  # noqa: ARG002
+        import uuid as _uuid
+
+        sid = _uuid.uuid4().hex
+        self._session(sid)
+        return {"session_id": sid}
+
+    def _ctl_reset(self, method, state, extra, params):  # noqa: ARG002
+        sid = extra[0] if extra else params.get("session_id", "default")
+        self.sessions.pop(sid, None)
+        return {"reset": sid}
+
+    def _ctl_slide(self, method, state, extra, params):  # noqa: ARG002
+        from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+        if method == "GET":
+            reader = state["layers"].get("slide")
+            path = getattr(reader, "input_path", None) if reader else None
+            return {"slide": str(path) if path else None}
+        slide_path = params["slide_path"]
+        # changing slide clears the session's layers (reference :409-424)
+        state["layers"].clear()
+        state["pyramids"].clear()
+        state["base_info"] = None
+        self.add_layer(
+            "slide",
+            WSIReader.open(slide_path),
+            session_id=next(
+                k for k, v in self.sessions.items() if v is state
+            ),
+        )
+        return {"slide": slide_path}
+
+    def _ctl_annotations(self, method, state, extra, params):  # noqa: ARG002
+        from tiatoolbox_tpu.annotation.storage import AnnotationStore, SQLiteStore
+
+        if method == "GET":
+            overlay = state["layers"].get("overlay")
+            return {"count": len(overlay) if overlay is not None else 0}
+        store = AnnotationStore.open(params["file_path"])
+        if not isinstance(store, SQLiteStore):  # pragma: no cover - dict stores
+            pass
+        mpp = params.get("model_mpp")
+        if mpp and state["base_info"] is not None and state["base_info"].mpp is not None:
+            # rescale annotations from model resolution to slide baseline
+            factor = float(mpp) / float(state["base_info"].mpp[0])
+            if factor != 1.0:
+                store.transform(lambda coords, f=factor: np.asarray(coords) * f)
+        sid = next(k for k, v in self.sessions.items() if v is state)
+        self.add_layer("overlay", store, session_id=sid)
+        types = sorted(
+            {
+                str(a.properties.get("type"))
+                for a in store.values()
+                if a.properties.get("type") is not None
+            }
+        )
+        return {"types": types}
+
+    def _ctl_overlay(self, method, state, extra, params):  # noqa: ARG002
+        overlay_path = Path(params["overlay_path"])
+        sid = next(k for k, v in self.sessions.items() if v is state)
+        if overlay_path.suffix.lower() in (".db", ".geojson", ".ndjson"):
+            return self._ctl_annotations(
+                "PUT", state, extra, {**params, "file_path": str(overlay_path)}
+            )
+        n = sum(1 for name in state["layers"] if name.startswith("layer"))
+        name = f"layer{n}"
+        self.add_layer(name, overlay_path, session_id=sid)
+        return {"layer": name}
+
+    def _ctl_clear_overlays(self, method, state, extra, params):  # noqa: ARG002
+        removed = [
+            name
+            for name in list(state["layers"])
+            if name == "overlay" or name.startswith("layer")
+        ]
+        for name in removed:
+            state["layers"].pop(name, None)
+            state["pyramids"].pop(name, None)
+        return {"removed": removed}
+
+    def _ctl_color_prop(self, method, state, extra, params):  # noqa: ARG002
+        if method == "GET":
+            return {"color_prop": state["renderer"].score_prop}
+        state["renderer"].score_prop = params.get("prop") or None
+        return {"color_prop": state["renderer"].score_prop}
+
+    def _ctl_cmap(self, method, state, extra, params):  # noqa: ARG002
+        if method == "GET":
+            mapper = state["renderer"].mapper
+            return {"cmap": mapper if isinstance(mapper, str) else "custom"}
+        cmap = params["cmap"]
+        if cmap.startswith("{"):
+            mapping = json.loads(cmap)
+            state["renderer"].mapper = {
+                key: tuple(value) for key, value in mapping.items()
+            }
+        else:
+            state["renderer"].mapper = cmap
+        return {"cmap": cmap}
+
+    def _ctl_renderer(self, method, state, extra, params):
+        prop = extra[0]
+        renderer = state["renderer"]
+        if method == "GET":
+            value = getattr(renderer, prop)
+            return {prop: value if not callable(value) else str(value)}
+        value = params["val"]
+        try:
+            value = json.loads(value)
+        except (ValueError, TypeError):
+            pass
+        setattr(renderer, prop, value)
+        return {prop: value}
+
+    def _ctl_prop_names(self, method, state, extra, params):  # noqa: ARG002
+        overlay = state["layers"].get("overlay")
+        if overlay is None:
+            return {"prop_names": []}
+        ann_type = extra[0] if extra else "all"
+        keys: set = set()
+        for ann in overlay.values():
+            if ann_type in ("all", str(ann.properties.get("type"))):
+                keys.update(ann.properties.keys())
+        return {"prop_names": sorted(keys)}
+
+    def _ctl_prop_values(self, method, state, extra, params):  # noqa: ARG002
+        overlay = state["layers"].get("overlay")
+        if overlay is None:
+            return {"prop_values": []}
+        prop = extra[0]
+        ann_type = extra[1] if len(extra) > 1 else "all"
+        values = {
+            ann.properties[prop]
+            for ann in overlay.values()
+            if prop in ann.properties
+            and ann_type in ("all", str(ann.properties.get("type")))
+        }
+        return {"prop_values": sorted(values, key=str)}
+
+    def _ctl_prop_range(self, method, state, extra, params):  # noqa: ARG002
+        overlay = state["layers"].get("overlay")
+        prop = params.get("prop") or (extra[0] if extra else None)
+        if overlay is None or prop is None:
+            return {"range": None}
+        values = [
+            float(ann.properties[prop])
+            for ann in overlay.values()
+            if isinstance(ann.properties.get(prop), (int, float))
+        ]
+        if not values:
+            return {"range": None}
+        return {"range": [min(values), max(values)]}
+
+    def _ctl_commit(self, method, state, extra, params):  # noqa: ARG002
+        from tiatoolbox_tpu.annotation.storage import SQLiteStore
+
+        overlay = state["layers"].get("overlay")
+        if not isinstance(overlay, SQLiteStore):
+            return {"committed": False}
+        save_path = params.get("save_path")
+        if save_path:
+            overlay.dump(save_path)
+        else:
+            overlay.commit()
+        return {"committed": True}
+
+    def _multichannel_post_proc(self, state):
+        from tiatoolbox_tpu.utils.postproc_defs import MultichannelToRGB
+
+        reader = state["layers"].get("slide") or next(
+            iter(state["layers"].values()), None
+        )
+        post_proc = getattr(reader, "post_proc", None)
+        return post_proc if isinstance(post_proc, MultichannelToRGB) else None
+
+    def _ctl_channels(self, method, state, extra, params):  # noqa: ARG002
+        post_proc = self._multichannel_post_proc(state)
+        if post_proc is None:
+            return {"channels": None, "colors": None}
+        if method != "GET":
+            post_proc.set_active_channels(json.loads(params["channels"]))
+        colors = (
+            np.asarray(post_proc.colors).tolist()
+            if post_proc.colors is not None
+            else None
+        )
+        names = list(post_proc.color_dict) if post_proc.color_dict else None
+        return {"channels": post_proc.channels, "colors": colors, "names": names}
+
+    def _ctl_enhance(self, method, state, extra, params):  # noqa: ARG002
+        post_proc = self._multichannel_post_proc(state)
+        if post_proc is None:
+            return {"enhance": None}
+        if method != "GET":
+            post_proc.enhance = float(params["val"])
+        return {"enhance": post_proc.enhance}
+
     def _serve_tile(self, start_response, match):
         layer = match.group("layer")
+        session = match.group("session")
         z, x, y = (int(match.group(k)) for k in ("z", "x", "y"))
-        if layer not in self.pyramids:
+        pyramids = self.sessions.get(session, self.sessions["default"])["pyramids"]
+        if layer not in pyramids:
+            pyramids = self.pyramids  # fall back to the shared session
+        if layer not in pyramids:
             return self._respond_error(start_response, "404 Not Found", "no layer")
         try:
-            tile = self.pyramids[layer].get_tile(z, x, y)
+            tile = pyramids[layer].get_tile(z, x, y)
         except IndexError:
             return self._respond_error(start_response, "404 Not Found", "no tile")
         if tile.shape[-1] == 4:
