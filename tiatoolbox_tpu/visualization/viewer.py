@@ -35,6 +35,11 @@ VIEWER_HTML = """<!DOCTYPE html>
   <label>overlay opacity
     <input id="alpha" type="range" min="0" max="1" step="0.05" value="0.7"/>
   </label>
+  <input id="ovpath" type="text" placeholder="overlay path (.db/.geojson/img)"
+         size="28"/>
+  <button id="ovload">load overlay</button>
+  <label>colour by <select id="colorprop"><option value="">type</option>
+  </select></label>
   <span id="pos"></span>
 </div>
 <div id="view"><canvas id="canvas"></canvas><div id="info"></div></div>
@@ -168,6 +173,43 @@ document.getElementById('alpha').oninput = e => {{
   alpha = parseFloat(e.target.value); draw();
 }};
 window.onresize = () => {{ resize(); draw(); }};
+
+async function ctl(path, method, params) {{
+  const body = new URLSearchParams(params || {{}});
+  const r = await fetch(path, {{method: method || 'PUT', body: body}});
+  return r.ok ? r.json() : null;
+}}
+
+async function refreshLayers() {{
+  const resp = await fetch('/tileserver/layers');
+  const current = (await resp.json()).layers;
+  for (const name of current) if (!(name in visible)) {{
+    visible[name] = true;
+    layers.push(name);
+  }}
+  tileCache.clear();
+  draw();
+}}
+
+document.getElementById('ovload').onclick = async () => {{
+  const path = document.getElementById('ovpath').value;
+  if (!path) return;
+  await ctl('/tileserver/overlay', 'PUT', {{overlay_path: path}});
+  const props = await ctl('/tileserver/prop_names/all', 'GET');
+  const sel = document.getElementById('colorprop');
+  sel.innerHTML = '<option value="">type</option>';
+  for (const p of (props ? props.prop_names : [])) {{
+    const o = document.createElement('option');
+    o.value = p; o.textContent = p; sel.appendChild(o);
+  }}
+  await refreshLayers();
+}};
+
+document.getElementById('colorprop').onchange = async e => {{
+  await ctl('/tileserver/color_prop', 'PUT', {{prop: e.target.value}});
+  tileCache.clear();
+  draw();
+}};
 init();
 </script>
 </body>
