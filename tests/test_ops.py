@@ -172,3 +172,41 @@ class TestEngineEquivalence:
             np.asarray(spill_group["probabilities"]),
             atol=1e-5,
         )
+
+
+def test_native_watershed_matches_python() -> None:
+    """C++ priority-flood watershed is bit-identical to the Python flood."""
+    import os
+
+    from tiatoolbox_tpu import native
+    from tiatoolbox_tpu.models.architecture import hovernet
+
+    rng = np.random.default_rng(3)
+    img = rng.random((200, 200)).astype(np.float32)
+    mask = np.zeros((200, 200), bool)
+    markers = np.zeros((200, 200), np.int32)
+    k = 0
+    for _ in range(60):
+        y, x = rng.integers(10, 190, 2)
+        mask[y - 6 : y + 6, x - 6 : x + 6] = True
+        k += 1
+        markers[y, x] = k
+
+    out_native = native.watershed(img, markers, mask)
+    if out_native is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    os.environ["TIATOOLBOX_TPU_NO_NATIVE"] = "1"
+    try:
+        import importlib
+
+        importlib.reload(native)
+        out_py = hovernet._watershed(img, markers, mask)
+    finally:
+        del os.environ["TIATOOLBOX_TPU_NO_NATIVE"]
+        importlib.reload(native)
+    assert np.array_equal(out_native, out_py)
+    # labels only inside mask; every marker survives
+    assert (out_native[~mask] == 0).all()
+    assert set(np.unique(out_native)) == set(range(k + 1))

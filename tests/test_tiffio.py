@@ -81,3 +81,20 @@ def test_multilevel_descending(tmp_path) -> None:
     widths = [p.width for p in pages]
     assert widths == sorted(widths, reverse=True)
     assert pages[1].width * 2 == pages[0].width
+
+
+def test_ndpi_metadata_tags(tmp_path) -> None:
+    """Hamamatsu Make tag + SourceLens private tag drive NDPI metadata."""
+    import numpy as np
+
+    from tiatoolbox_tpu.wsicore.tiffio import TiffFile, TiffPyramidWriter
+
+    path = tmp_path / "n.tiff"
+    img = np.zeros((64, 64, 3), np.uint8)
+    TiffPyramidWriter(path, tile_size=32, compression="deflate").write([img])
+    tf = TiffFile(path)
+    tf.pages[0].raw_tags[271] = "Hamamatsu"
+    tf.pages[0].raw_tags[65421] = (20.0,)
+    meta = tf.svs_metadata()
+    assert meta["vendor"] == "hamamatsu"
+    assert meta["objective_power"] == 20.0

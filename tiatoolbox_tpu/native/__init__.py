@@ -1,9 +1,11 @@
 """Native (C++) host-plane components, loaded via ctypes.
 
 Currently: a multithreaded libjpeg batch tile decoder used by the TIFF
-reader's hot read path. The shared library is compiled on first use
-with g++ and cached under ``$TIATOOLBOX_TPU_HOME/native``; when the
-toolchain or libjpeg is unavailable the callers fall back to OpenCV.
+reader's hot read path, and a priority-flood watershed used by the
+HoVerNet-family instance postprocessing. The shared library is
+compiled on first use with g++ and cached under
+``$TIATOOLBOX_TPU_HOME/native``; when the toolchain or libjpeg is
+unavailable the callers fall back to OpenCV / pure-Python paths.
 """
 
 from __future__ import annotations
@@ -21,8 +23,9 @@ _lib = None
 _lib_checked = False
 
 
-def _source_path() -> Path:
-    return Path(__file__).parent / "jpegdec.cpp"
+def _source_paths() -> list[Path]:
+    here = Path(__file__).parent
+    return [here / "jpegdec.cpp", here / "watershed.cpp"]
 
 
 def _build_library(out_path: Path) -> bool:
@@ -32,7 +35,7 @@ def _build_library(out_path: Path) -> bool:
         "-shared",
         "-fPIC",
         "-std=c++17",
-        str(_source_path()),
+        *[str(p) for p in _source_paths()],
         "-ljpeg",
         "-lpthread",
         "-o",
@@ -62,8 +65,8 @@ def get_library():
     cache_dir = Path(rcParam["TIATOOLBOX_HOME"]) / "native"
     cache_dir.mkdir(parents=True, exist_ok=True)
     lib_path = cache_dir / "libtiatpu_native.so"
-    src = _source_path()
-    if not lib_path.exists() or lib_path.stat().st_mtime < src.stat().st_mtime:
+    src_mtime = max(p.stat().st_mtime for p in _source_paths())
+    if not lib_path.exists() or lib_path.stat().st_mtime < src_mtime:
         if not _build_library(lib_path):
             return None
     try:
@@ -85,8 +88,42 @@ def get_library():
         ctypes.c_int,
     ]
     lib.tiatpu_decode_jpeg_batch.restype = ctypes.c_int
+    lib.tiatpu_watershed.argtypes = [
+        ctypes.c_void_p,  # image float32
+        ctypes.c_void_p,  # markers int32
+        ctypes.c_void_p,  # mask uint8
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p,  # out int32
+    ]
+    lib.tiatpu_watershed.restype = ctypes.c_int
     _lib = lib
     return _lib
+
+
+def watershed(image, markers, mask):
+    """Native marker-based watershed; None when the library is absent.
+
+    Matches ``skimage.segmentation.watershed(image, markers,
+    mask=mask)`` semantics (ascending flood, FIFO tie-break,
+    4-connectivity).
+    """
+    lib = get_library()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, np.float32)
+    markers32 = np.ascontiguousarray(markers, np.int32)
+    mask8 = np.ascontiguousarray(mask != 0, np.uint8)
+    out = np.empty(image.shape, np.int32)
+    lib.tiatpu_watershed(
+        image.ctypes.data_as(ctypes.c_void_p),
+        markers32.ctypes.data_as(ctypes.c_void_p),
+        mask8.ctypes.data_as(ctypes.c_void_p),
+        image.shape[0],
+        image.shape[1],
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
 
 
 def decode_jpeg_batch(

@@ -587,6 +587,20 @@ class TiffFile:
         meta: dict = {"vendor": None, "mpp": None, "objective_power": None}
         if desc.startswith("Aperio"):
             meta["vendor"] = "aperio"
+        make = page.raw_tags.get(271, "")  # Make tag
+        if isinstance(make, str) and "hamamatsu" in make.lower():
+            # NDPI: vendor from Make, objective from private SourceLens tag
+            meta["vendor"] = "hamamatsu"
+            source_lens = page.raw_tags.get(65421)
+            if source_lens is not None:
+                try:
+                    meta["objective_power"] = float(
+                        source_lens[0]
+                        if isinstance(source_lens, tuple)
+                        else source_lens
+                    )
+                except (TypeError, ValueError):  # pragma: no cover
+                    pass
         mpp_match = re.search(r"MPP\s*=\s*([\d.]+)", desc)
         if mpp_match:
             mpp = float(mpp_match.group(1))
