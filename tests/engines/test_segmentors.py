@@ -350,3 +350,75 @@ class TestPromptSegmentor:
         seg = PromptSegmentor(model=self._StubSAM())
         with pytest.raises(ValueError, match="point_coords or box_coords"):
             seg.run([np.zeros((8, 8, 3), np.uint8)], save_dir=tmp_path)
+
+
+class TestMultiTaskPatchMode:
+    """Multi-head (tuple-output) models through patch-mode run()."""
+
+    @staticmethod
+    def _two_head_model():
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        from tiatoolbox_tpu.models.models_abc import ModelABC
+
+        class TwoHead(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                base = nn.Conv(4, (3, 3), padding="SAME")(x)
+                return (
+                    nn.Conv(1, (1, 1))(base),
+                    nn.Conv(2, (1, 1))(base),
+                )
+
+        class TwoHeadModel(ModelABC):
+            def __init__(self):
+                super().__init__(TwoHead())
+
+            @staticmethod
+            def infer_batch(model, batch_data, device=None):
+                out = model(jnp.asarray(batch_data, jnp.float32))
+                return tuple(np.asarray(h) for h in out)
+
+            @staticmethod
+            def postproc(maps):
+                binary = np.asarray(maps[0])[..., 0] > 0
+                info = {
+                    "box": np.array([[0, 0, 2, 2]], dtype=object),
+                    "centroid": np.array([[1.0, 1.0]], dtype=object),
+                    "contours": np.array(
+                        [np.array([[0, 0], [2, 2]])], dtype=object
+                    ),
+                    "prob": np.array([1.0], dtype=object),
+                    "type": np.array([1], dtype=object),
+                }
+                return (
+                    {
+                        "task_type": "t",
+                        "info_dict": info if binary.any() else {},
+                        "seg_type": "instance",
+                    },
+                )
+
+        model = TwoHeadModel()
+        model.init(input_shape=(1, 32, 32, 3))
+        return model
+
+    def test_patch_mode_multi_head(self) -> None:
+        from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
+            MultiTaskSegmentor,
+        )
+
+        model = self._two_head_model()
+        seg = MultiTaskSegmentor(model=model, batch_size=2, num_loader_workers=0,
+                                 verbose=False)
+        patches = np.random.default_rng(0).integers(
+            0, 255, (3, 32, 32, 3), np.uint8
+        )
+        out = seg.run(patches, patch_mode=True)
+        assert len(out["probabilities"]) == 2  # one array per head
+        assert out["probabilities"][0].shape == (3, 32, 32, 1)
+        assert out["probabilities"][1].shape == (3, 32, 32, 2)
+        assert len(out["instances"]) == 3
+        with pytest.raises(ValueError, match="dict"):
+            seg.save_predictions(out, "annotationstore", save_dir="/tmp")

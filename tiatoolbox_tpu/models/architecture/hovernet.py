@@ -332,18 +332,31 @@ class HoVerNet(ModelABC):
     ) -> dict:
         """Per-instance bbox/contour/centroid/type info via cv2.
 
-        Matches reference ``hovernet.py:619-750``.
+        Matches reference ``hovernet.py:619-750``; unlike the
+        reference's per-instance full-map scans (O(N*H*W)), bounding
+        boxes come from one ``ndimage.find_objects`` pass and all
+        per-instance work happens on the cropped box — identical
+        outputs, linear cost.
         """
-        inst_id_list = np.unique(pred_inst)[1:]
+        from scipy import ndimage
+
+        pred_inst = np.asarray(pred_inst)
         inst_info_dict = {}
         offset = np.asarray(offset)
-        for inst_id in inst_id_list:
-            inst_map_full = pred_inst == inst_id
-            inst_box = get_bounding_box(inst_map_full)
+        max_label = int(pred_inst.max()) if pred_inst.size else 0
+        slices = (
+            ndimage.find_objects(pred_inst, max_label=max_label)
+            if max_label
+            else []
+        )
+        for idx, slc in enumerate(slices):
+            if slc is None:
+                continue
+            inst_id = idx + 1
+            rows, cols = slc
+            inst_box = np.array([cols.start, rows.start, cols.stop, rows.stop])
             inst_box_tl = inst_box[:2] + offset
-            inst_map = inst_map_full[
-                inst_box[1] : inst_box[3], inst_box[0] : inst_box[2]
-            ].astype(np.uint8)
+            inst_map = (pred_inst[slc] == inst_id).astype(np.uint8)
             inst_moment = cv2.moments(inst_map)
             contours = cv2.findContours(
                 inst_map, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE

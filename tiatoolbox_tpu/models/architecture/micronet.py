@@ -240,15 +240,15 @@ class MicroNet(ModelABC):
         pred_inst = _remove_small_objects(pred_inst, min_size=50)
         canvas = np.zeros(pred_inst.shape[:2], dtype=np.int32)
         max_value = 0 if not np.any(pred_inst) else int(pred_inst.max())
-        for inst_id in range(1, max_value + 1):
-            ys, xs = np.where(pred_inst == inst_id)
-            if len(xs) == 0:
+        # one find_objects pass instead of per-instance full-map scans
+        slices = ndimage.find_objects(pred_inst, max_label=max_value)
+        for idx, slc in enumerate(slices):
+            if slc is None:
                 continue
-            y1, y2 = ys.min(), ys.max() + 1
-            x1, x2 = xs.min(), xs.max() + 1
-            crop = pred_inst[y1:y2, x1:x2] == inst_id
+            inst_id = idx + 1
+            crop = pred_inst[slc] == inst_id
             filled = ndimage.binary_fill_holes(crop)
-            canvas[y1:y2, x1:x2][filled] = inst_id
+            canvas[slc][filled] = inst_id
 
         info_dict = HoVerNet.get_instance_info(canvas, offset=np.asarray(offset))
         if not info_dict:

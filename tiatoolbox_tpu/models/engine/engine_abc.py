@@ -247,13 +247,29 @@ class EngineABC(ABC):
                 coordinates.append(batch["coords"][:n_valid])
             if self.return_labels and "label" in batch:
                 labels.append(np.asarray(batch["label"])[:n_valid])
-        probabilities = [
-            np.asarray(out)[:n] for out, n in zip(device_outputs, n_valids)
-        ]
+        multi_head = device_outputs and isinstance(device_outputs[0], (tuple, list))
+        if multi_head:  # e.g. HoVerNet: one output map per head
+            probabilities = [
+                tuple(np.asarray(head)[:n] for head in out)
+                for out, n in zip(device_outputs, n_valids)
+            ]
+        else:
+            probabilities = [
+                np.asarray(out)[:n] for out, n in zip(device_outputs, n_valids)
+            ]
         timer.add("infer", _time.perf_counter() - t_start, items=n_total)
         if self.verbose:
             timer.report()
-        output = {"probabilities": np.concatenate(probabilities, axis=0)}
+        if multi_head:
+            n_heads = len(probabilities[0])
+            output = {
+                "probabilities": [
+                    np.concatenate([p[h] for p in probabilities], axis=0)
+                    for h in range(n_heads)
+                ]
+            }
+        else:
+            output = {"probabilities": np.concatenate(probabilities, axis=0)}
         if coordinates:
             output["coordinates"] = np.concatenate(coordinates, axis=0)
         if labels:

@@ -147,6 +147,24 @@ class MultiTaskSegmentor(SemanticSegmentor):
 
     # -- instance post-processing ---------------------------------------------------------
 
+    def post_process_patches(self, raw_predictions: dict, **kwargs) -> dict:  # noqa: ARG002
+        """Per-patch instance extraction (reference patch-mode path).
+
+        ``probabilities`` holds one array per model head; each patch's
+        head maps run through the model's ``postproc_func``.
+        """
+        heads = raw_predictions["probabilities"]
+        if not isinstance(heads, (tuple, list)):
+            heads = [heads]
+        n_patches = len(heads[0])
+        instances = []
+        for i in range(n_patches):
+            maps = [np.asarray(h[i]) for h in heads]
+            results = self.model.postproc_func(maps)
+            instances.append(self._results_to_instance_dict(results, offset=(0, 0)))
+        raw_predictions["instances"] = instances
+        return raw_predictions
+
     def post_process_wsi(self, raw_predictions: dict, **kwargs) -> dict:  # noqa: ARG002
         head_maps = raw_predictions["head_maps"]
         canvas_wh = raw_predictions["canvas_wh"]
@@ -412,6 +430,12 @@ class MultiTaskSegmentor(SemanticSegmentor):
         instances = processed_predictions.get("instances", {})
         if output_type.lower() == "dict":
             return processed_predictions
+        if isinstance(instances, list):  # patch mode: per-patch dicts
+            msg = (
+                "Patch-mode multi-task outputs support output_type='dict'; "
+                "merge or save per-patch instance dicts downstream."
+            )
+            raise ValueError(msg)
         if output_type.lower() == "annotationstore":
             from tiatoolbox_tpu.utils.store_conversion import (
                 dict_to_store_instance_segmentor,
