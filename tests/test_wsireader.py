@@ -71,13 +71,52 @@ def ngff_path(tmp_path_factory):
     return root
 
 
+@pytest.fixture(scope="module")
+def dicom_path(tmp_path_factory):
+    from tiatoolbox_tpu.data.synth import make_synthetic_dicom
+
+    path = tmp_path_factory.mktemp("rdr") / "d.dcm"
+    make_synthetic_dicom(path, size=(SLIDE_W, SLIDE_H), frame_size=128, mpp=0.5)
+    return path
+
+
+@pytest.fixture(scope="module")
+def jp2_path(tmp_path_factory):
+    import cv2
+
+    path = tmp_path_factory.mktemp("rdr") / "j.jp2"
+    img = synthetic_he_patch((SLIDE_W, SLIDE_H), seed=11)
+    cv2.imwrite(str(path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    return path
+
+
+@pytest.fixture(scope="module")
+def mrxs_path(tmp_path_factory):
+    from mirax_synth import write_synthetic_mrxs
+
+    return write_synthetic_mrxs(
+        tmp_path_factory.mktemp("rdr") / "m",
+        grid_nx=SLIDE_W // 64,
+        grid_ny=SLIDE_H // 64,
+        tile=64,
+        n_levels=2,
+        mpp=0.5,
+    )
+
+
 @pytest.fixture()
-def reader(request, slide_path, ngff_path):
+def reader(request, slide_path, ngff_path, dicom_path, jp2_path, mrxs_path):
     kind = request.param
     if kind == "tiff":
         return WSIReader.open(slide_path)
     if kind == "ngff":
         return WSIReader.open(ngff_path)
+    if kind == "dicom":
+        return WSIReader.open(dicom_path)
+    if kind == "jp2":
+        return WSIReader.open(jp2_path, mpp=(0.5, 0.5))
+    if kind == "mirax":
+        return WSIReader.open(mrxs_path)
     img = synthetic_he_patch((SLIDE_W, SLIDE_H), seed=11)
     info = WSIMeta(
         slide_dimensions=(SLIDE_W, SLIDE_H),
@@ -92,7 +131,9 @@ def reader(request, slide_path, ngff_path):
 
 
 ALL_READERS = pytest.mark.parametrize(
-    "reader", ["tiff", "ngff", "virtual"], indirect=True
+    "reader",
+    ["tiff", "ngff", "virtual", "dicom", "jp2", "mirax"],
+    indirect=True,
 )
 
 
