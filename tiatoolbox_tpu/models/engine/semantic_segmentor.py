@@ -187,7 +187,19 @@ class SemanticSegmentor(EngineABC):
         return {"probabilities": canvas}
 
     # device-canvas threshold: canvas + count must stay well under HBM
-    DEVICE_CANVAS_MAX_PIXELS = 3000 * 3000
+    DEVICE_CANVAS_MAX_PIXELS = 3000 * 3000  # fallback when HBM stats absent
+
+    def _device_canvas_budget_bytes(self) -> int:
+        """HBM budget for the device canvas: 25% of free HBM when the
+        runtime exposes memory stats, else a conservative constant."""
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats()
+            free = stats["bytes_limit"] - stats["bytes_in_use"]
+            return int(free * 0.25)
+        except (AttributeError, KeyError, TypeError, IndexError, RuntimeError):
+            return self.DEVICE_CANVAS_MAX_PIXELS * 16
 
     def _can_use_device_canvas(
         self, dataset, canvas_wh, n_channels: int, coord_scale
@@ -195,7 +207,7 @@ class SemanticSegmentor(EngineABC):
         if getattr(self.model, "mesh", None) is not None:
             return False  # dp runs keep host stitching for now
         n_pixels = int(canvas_wh[0]) * int(canvas_wh[1])
-        if n_pixels * (n_channels + 1) * 4 > self.DEVICE_CANVAS_MAX_PIXELS * 16:
+        if n_pixels * (n_channels + 1) * 4 > self._device_canvas_budget_bytes():
             return False
         # uniform grid: every output cell must equal the model's output
         # patch size in canvas space (no per-patch resize)
