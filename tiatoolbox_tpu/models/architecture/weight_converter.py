@@ -151,13 +151,25 @@ def convert_for_model(model, state_dict: dict) -> dict:
 
 
 def load_weights_into(model, path: str | Path) -> None:
-    """Load .npz (flax) or .pth/.tar (torch) weights into a model wrapper."""
+    """Load .npz (flax) or .pth/.tar (torch) weights into a model wrapper.
+
+    Torch checkpoints convert once: the flax tree is cached as a
+    sibling ``<name>.<ModelClass>.npz`` (invalidated when the source
+    checkpoint is newer) so subsequent loads skip torch entirely.
+    """
     path = Path(path)
     if path.suffix == ".npz":
         model.load_weights(load_flax_npz(path))
         return
     if path.is_dir():  # orbax checkpoint
         model.load_weights(load_orbax(path))
+        return
+    cache_path = path.with_suffix(f".{type(model).__name__}.npz")
+    if (
+        cache_path.exists()
+        and cache_path.stat().st_mtime >= path.stat().st_mtime
+    ):
+        model.load_weights(load_flax_npz(cache_path))
         return
     import torch
 
@@ -171,7 +183,12 @@ def load_weights_into(model, path: str | Path) -> None:
     ):  # KongNet-style wrapper (reference kongnet.py load_state_dict)
         checkpoint = checkpoint["model"]
     state_dict = {k: v.numpy() for k, v in checkpoint.items()}
-    model.load_weights(convert_for_model(model, state_dict))
+    variables = convert_for_model(model, state_dict)
+    model.load_weights(variables)
+    try:
+        save_flax_npz(model.variables, cache_path)
+    except OSError:  # read-only weight directories are fine
+        pass
 
 
 def verify_against_torch(model, torch_model, input_shape=(2, 64, 64, 3), atol=1e-4):
