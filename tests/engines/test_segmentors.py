@@ -422,3 +422,40 @@ class TestMultiTaskPatchMode:
         assert len(out["instances"]) == 3
         with pytest.raises(ValueError, match="dict"):
             seg.save_predictions(out, "annotationstore", save_dir="/tmp")
+
+
+class TestDeviceCanvasEdgeCases:
+    def test_partial_final_batch(self, tiny_unet, slide_path, seg_ioconfig) -> None:
+        """Tail batches (n_valid < batch_size) scatter correctly."""
+        seg = SemanticSegmentor(tiny_unet, batch_size=7, num_loader_workers=0)
+        # 48 cells / 7 per batch -> final batch has 6 real + 1 padded
+        out = seg.run(
+            [slide_path], patch_mode=False, ioconfig=seg_ioconfig,
+            auto_get_mask=False,
+        )
+        probs = np.asarray(out[slide_path]["probabilities"])
+        assert probs.shape == (192, 256, 2)
+        assert (np.abs(probs.sum(-1) - 1) < 1e-3).mean() == 1.0
+
+    def test_patch_larger_than_canvas_falls_back(self, slide_path) -> None:
+        """Output patches bigger than the canvas use the host stitcher."""
+        model = UNetModel(
+            num_input_channels=3, num_output_channels=2,
+            encoder="unet", encoder_levels=[8, 16, 32],
+        )
+        model.init(input_shape=(1, 64, 64, 3))
+        ioconfig = IOSegmentorConfig(
+            input_resolutions=[{"units": "mpp", "resolution": 8.0}],
+            output_resolutions=[{"units": "mpp", "resolution": 8.0}],
+            patch_input_shape=(128, 128),
+            patch_output_shape=(128, 128),
+            stride_shape=(128, 128),
+        )
+        seg = SemanticSegmentor(model, batch_size=2, num_loader_workers=0)
+        # slide at 8mpp = 64x48 -> single 128px patch covers (exceeds) it
+        out = seg.run(
+            [slide_path], patch_mode=False, ioconfig=ioconfig,
+            auto_get_mask=False,
+        )
+        probs = np.asarray(out[slide_path]["probabilities"])
+        assert probs.shape == (48, 64, 2)

@@ -220,7 +220,14 @@ class SemanticSegmentor(EngineABC):
         )
         if len(sizes) != 1:
             return False
-        return tuple(np.round(sizes[0]).astype(int)[::-1]) == probe.shape[1:3]
+        if tuple(np.round(sizes[0]).astype(int)[::-1]) != probe.shape[1:3]:
+            return False
+        # each output patch must fit inside the canvas (HBM scatter
+        # slices are patch-sized; host path handles the crop otherwise)
+        return (
+            probe.shape[1] <= int(canvas_wh[1])
+            and probe.shape[2] <= int(canvas_wh[0])
+        )
 
     def _infer_wsi_device_canvas(
         self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale
@@ -236,10 +243,13 @@ class SemanticSegmentor(EngineABC):
                 self.model, batch["image"], self.device
             )
             n_valid = batch["n_valid"]
-            indices = batch["indices"]
+            batch_size = batch["image"].shape[0]
+            indices = np.asarray(batch["indices"])[:n_valid]
             coords = outputs_arr[indices].astype(float) * np.tile(coord_scale, 2)
-            positions = np.round(coords[:, [1, 0]]).astype(np.int32)  # (y, x)
-            valid = np.arange(len(indices)) < n_valid
+            # pad to the fixed batch shape (tail batches carry padding)
+            positions = np.zeros((batch_size, 2), np.int32)
+            positions[:n_valid] = np.round(coords[:, [1, 0]]).astype(np.int32)
+            valid = np.arange(batch_size) < n_valid
             canvas.add(probs, positions, valid)
         return {"probabilities": np.asarray(canvas.normalized())}
 
