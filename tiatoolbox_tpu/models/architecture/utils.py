@@ -95,12 +95,18 @@ def nms_on_detection_maps(
     """
     if len(coords) == 0:
         return np.array([], dtype=int)
-    order = np.argsort(-np.asarray(scores))
-    kept: list[int] = []
+    from scipy.spatial import cKDTree
+
     coords = np.asarray(coords, dtype=float)
+    order = np.argsort(-np.asarray(scores))
+    tree = cKDTree(coords)
+    suppressed = np.zeros(len(coords), dtype=bool)
+    kept: list[int] = []
     for idx in order:
-        if all(
-            np.hypot(*(coords[idx] - coords[k])) > radius for k in kept
-        ):
-            kept.append(int(idx))
+        if suppressed[idx]:
+            continue
+        kept.append(int(idx))
+        for j in tree.query_ball_point(coords[idx], r=radius):
+            if j != idx:
+                suppressed[j] = True
     return np.array(kept, dtype=int)
