@@ -124,9 +124,48 @@ def bench_stainnorm() -> dict:
     return {"mpix_per_sec": e2e, "kernel_mpix_per_sec": kernel}
 
 
+def bench_segmentation_device() -> dict:
+    """On-chip semantic-segmentation forward throughput (bf16 U-Net)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiatoolbox_tpu.models.architecture.unet import UNetModel
+
+    model = UNetModel(
+        num_input_channels=3,
+        num_output_channels=2,
+        encoder="unet",
+        compute_dtype=jnp.bfloat16,
+    )
+    model.init(input_shape=(1, 256, 256, 3))
+    batch = 32
+    warm = np.zeros((batch, 256, 256, 3), np.uint8)
+    out = model.infer_batch(model, warm)
+    x = jax.device_put(jnp.asarray(warm))
+
+    def run(xd):
+        return model._jitted_infer(model.variables, xd.astype(model.compute_dtype))
+
+    if getattr(model, "_jitted_infer", None) is None:  # fallback: full path
+        run = lambda xd: model.infer_batch(model, np.asarray(xd))  # noqa: E731
+    out = run(x)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = run(x)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    mpix = n_iter * batch * 256 * 256 / 1e6 / (time.perf_counter() - t0)
+    return {"device_mpix_per_sec": mpix}
+
+
 def main() -> None:
     pp = bench_patch_predictor()
     sn = bench_stainnorm()
+    try:
+        seg = bench_segmentation_device()
+    except Exception:  # keep the headline metric robust
+        seg = {"device_mpix_per_sec": None}
     reference_gpu_pps = 1000.0  # nominal reference GPU throughput (see docstring)
     result = {
         "metric": "patches/sec/chip (resnet18-kather100k WSI)",
@@ -136,6 +175,11 @@ def main() -> None:
         "device_only_patches_per_sec": round(pp["device_only_pps"], 1),
         "stainnorm_mpix_per_sec": round(sn["mpix_per_sec"], 2),
         "stainnorm_kernel_mpix_per_sec": round(sn["kernel_mpix_per_sec"], 2),
+        "segmentation_device_mpix_per_sec": (
+            round(seg["device_mpix_per_sec"], 2)
+            if seg["device_mpix_per_sec"]
+            else None
+        ),
         "n_patches": pp["patches"],
         "wall_seconds": round(pp["seconds"], 2),
     }
