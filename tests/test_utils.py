@@ -185,3 +185,84 @@ class TestMisc:
 
         pts = np.array([[0, 0], [10, 10], [20, 20]], dtype=float)
         assert f1_detection(pts, pts, radius=1.0) == 1.0
+
+
+class TestDatImport:
+    """HoVerNet/cerberus .dat detection import (reference misc.py:989-1217)."""
+
+    @staticmethod
+    def _hover_dat(tmp_path, name="h.dat"):
+        import joblib
+
+        data = {
+            f"inst_{i}": {
+                "box": [i * 10, 0, i * 10 + 8, 8],
+                "centroid": [i * 10 + 4, 4],
+                "contour": [
+                    [i * 10, 0], [i * 10 + 8, 0], [i * 10 + 8, 8], [i * 10, 8],
+                ],
+                "prob": 0.5 + i / 10,
+                "type": i % 2,
+            }
+            for i in range(4)
+        }
+        path = tmp_path / name
+        joblib.dump(data, path)
+        return path
+
+    def test_store_from_dat(self, tmp_path) -> None:
+        from tiatoolbox_tpu.utils.misc import store_from_dat
+
+        store = store_from_dat(
+            self._hover_dat(tmp_path), typedict={0: "epith", 1: "lymph"}
+        )
+        anns = list(store.values())
+        assert len(anns) == 4
+        types = {a.properties["type"] for a in anns}
+        assert types == {"epith", "lymph"}
+        assert all("prob" in a.properties for a in anns)
+
+    def test_store_from_dat_scale(self, tmp_path) -> None:
+        from tiatoolbox_tpu.utils.misc import store_from_dat
+
+        store = store_from_dat(self._hover_dat(tmp_path), scale_factor=(2.0, 2.0))
+        bounds = np.array([a.geometry.bounds for a in store.values()])
+        assert bounds[:, 2].max() == (3 * 10 + 8) * 2
+
+    def test_cerberus_multihead(self, tmp_path) -> None:
+        import joblib
+
+        from tiatoolbox_tpu.utils.misc import store_from_dat
+
+        inst = {
+            "i0": {
+                "box": [0, 0, 4, 4],
+                "centroid": [2, 2],
+                "contour": [[0, 0], [4, 0], [4, 4], [0, 4]],
+                "type": 1,
+            }
+        }
+        data = {
+            "Gland": inst,
+            "Nuclei": inst,
+            "base_resolution": {"resolution": 0.5},
+            "proc_resolution": {"resolution": 1.0},
+        }
+        path = tmp_path / "c.dat"
+        joblib.dump(data, path)
+        store = store_from_dat(path)
+        anns = list(store.values())
+        assert len(anns) == 2
+        assert {a.properties["type"] for a in anns} == {"Gla: 1", "Nuc: 1"}
+        # scale inferred from resolutions: 1.0/0.5 = 2
+        assert max(a.geometry.bounds[2] for a in anns) == 8
+
+    def test_ppu2mpp(self) -> None:
+        from tiatoolbox_tpu.utils.misc import ppu2mpp
+
+        assert ppu2mpp(10000, "cm") == 1.0
+        assert ppu2mpp(25400, 2) == 1.0
+        import pytest
+
+        with pytest.raises(ValueError, match="Invalid units"):
+            ppu2mpp(1, "furlong")

@@ -17,6 +17,7 @@ import cv2
 import numpy as np
 import yaml
 
+from tiatoolbox_tpu import logger
 from tiatoolbox_tpu.utils.exceptions import FileNotSupportedError
 
 
@@ -395,3 +396,191 @@ def write_probability_heatmap_as_ome_tiff(
     )
     writer.write(levels)
     return Path(image_path)
+
+
+def ppu2mpp(ppu: float, units: str | int) -> float:
+    """Pixels-per-unit → microns-per-pixel (reference ``misc.py:940-988``).
+
+    Args:
+        ppu: Pixels per unit.
+        units: "m"/"cm"/"mm"/"inch" or TIFF ResolutionUnit codes
+            2 (inch) / 3 (cm).
+    """
+    microns_per_unit = {
+        "meter": 1e6,
+        "m": 1e6,
+        "centimeter": 1e4,
+        "cm": 1e4,
+        "mm": 1e3,
+        "inch": 25400,
+        "in": 25400,
+        2: 25400,
+        3: 1e4,
+    }
+    if units not in microns_per_unit:
+        msg = f"Invalid units: {units}"
+        raise ValueError(msg)
+    return 1 / ppu * microns_per_unit[units]
+
+
+def get_zarr_array(zarr_array) -> np.ndarray:
+    """Materialise a zarr-backed / array-like object as a numpy array."""
+    from tiatoolbox_tpu.utils.zarrlite import ZarrArray
+
+    if isinstance(zarr_array, ZarrArray):
+        return zarr_array[:]
+    return np.array(zarr_array).astype(float)
+
+
+def make_valid_poly(poly, origin: tuple[float, float] | None = None):
+    """Translate to ``origin`` and repair degenerate polygons.
+
+    Reference ``misc.py:1034-1059``: invalid polygons are fixed with a
+    small buffer; here validity means at least 3 distinct points and
+    nonzero ring area.
+    """
+    import numpy as _np
+
+    from tiatoolbox_tpu.annotation.geometry import Polygon
+
+    if origin is not None and tuple(origin) != (0, 0):
+        shift = _np.asarray(origin, dtype=float)
+        if isinstance(poly, Polygon):
+            poly = Polygon(
+                poly.shell - shift, [h - shift for h in poly.holes]
+            )
+        else:
+            poly = type(poly)(poly.coords - shift)
+    if isinstance(poly, Polygon):
+        distinct = _np.unique(poly.shell[:-1], axis=0)
+        if len(distinct) < 3 or poly.area == 0:
+            logger.warning("Invalid geometry found, fix using buffer().")
+            return poly.buffer(0.01)
+    return poly
+
+
+def anns_from_hoverdict(
+    data: dict,
+    props: list,
+    typedict: dict | None,
+    origin: tuple[float, float],
+    scale_factor,
+) -> list:
+    """HoVerNet-style detection dict → Annotation list (reference :1060-1113)."""
+    from tiatoolbox_tpu.annotation.geometry import geojson_to_geometry
+    from tiatoolbox_tpu.annotation.storage import Annotation
+
+    annotations = []
+    for ann in data.values():
+        geom = geojson_to_geometry(
+            {
+                "type": ann.get("geom_type", "Polygon"),
+                "coordinates": (
+                    np.asarray(scale_factor) * np.array([ann["contour"]])
+                ).tolist(),
+            }
+        )
+        properties = {
+            prop: (
+                typedict[ann[prop]]
+                if prop == "type" and typedict is not None
+                else ann[prop]
+            )
+            for prop in props[3:]
+            if prop in ann
+        }
+        annotations.append(Annotation(make_valid_poly(geom, origin), properties))
+    return annotations
+
+
+def make_default_dict(data: dict, subcat: str) -> dict:
+    """Auto type-name dict for one head of a multi-head .dat (reference :1115-1140)."""
+    types = {
+        data[subcat][ann_id]["type"]
+        for ann_id in data[subcat]
+        if "type" in data[subcat][ann_id]
+    }
+    num_chars = min(3, len(subcat))
+    return {t: f"{subcat[:num_chars]}: {t}" for t in types}
+
+
+def add_from_dat(
+    store,
+    fp,
+    scale_factor=(1, 1),
+    typedict: dict | None = None,
+    origin: tuple[float, float] = (0, 0),
+) -> None:
+    """Load a HoVerNet/cerberus ``.dat`` detection file into a store.
+
+    Reference ``misc.py:1142-1217``: joblib-pickled dict of instances
+    (or category → instances for multi-head cerberus output); scale
+    factor is inferred from stored base/proc resolutions when present.
+    """
+    import joblib
+
+    data = joblib.load(fp)
+    props = list(data[next(iter(data.keys()))].keys())
+    if "base_resolution" in data and "proc_resolution" in data:
+        scale_factor = (
+            data["proc_resolution"]["resolution"]
+            / data["base_resolution"]["resolution"]
+        )
+        logger.info("Scale factor inferred from resolutions: %s", scale_factor)
+    if "contour" not in props:
+        # cerberus format: objects subdivided into categories
+        anns = []
+        for subcat in data:
+            if (
+                subcat in {"resolution", "proc_dimensions", "base_dimensions"}
+                or "resolution" in subcat
+            ):
+                continue
+            sub_props = next(iter(data[subcat].values()))
+            if not isinstance(sub_props, dict):
+                continue
+            sub_props = list(sub_props.keys())
+            typedict_sub = (
+                make_default_dict(data, subcat)
+                if typedict is None
+                else typedict[subcat]
+            )
+            anns.extend(
+                anns_from_hoverdict(
+                    data[subcat], sub_props, typedict_sub, origin, scale_factor
+                )
+            )
+    else:
+        anns = anns_from_hoverdict(data, props, typedict, origin, scale_factor)
+    logger.info("Added %d annotations.", len(anns))
+    store.append_many(anns)
+
+
+def store_from_dat(
+    fp,
+    scale_factor=(1, 1),
+    typedict: dict | None = None,
+    origin: tuple[float, float] = (0, 0),
+    cls=None,
+):
+    """New annotation store populated from a ``.dat`` detection file."""
+    from tiatoolbox_tpu.annotation.storage import SQLiteStore
+
+    store = (cls or SQLiteStore)()
+    add_from_dat(store, fp, scale_factor, typedict=typedict, origin=origin)
+    return store
+
+
+def save_annotations(save_path: Path, store) -> Path:
+    """Persist a store to ``save_path`` (forced ``.db`` extension)."""
+    save_path = Path(save_path).with_suffix(".db")
+    store.dump(str(save_path))
+    return save_path
+
+
+def save_qupath_json(save_path: Path, qupath_json: dict) -> Path:
+    """Write a QuPath GeoJSON dict to ``save_path`` (forced ``.json``)."""
+    save_path = Path(save_path).with_suffix(".json")
+    with save_path.open("w") as fh:
+        json.dump(qupath_json, fh, indent=2)
+    return save_path

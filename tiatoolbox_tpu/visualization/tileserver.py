@@ -275,6 +275,19 @@ class TileServer:
     def _ctl_overlay(self, method, state, extra, params):  # noqa: ARG002
         overlay_path = Path(params["overlay_path"])
         sid = next(k for k, v in self.sessions.items() if v is state)
+        if overlay_path.suffix.lower() == ".dat":
+            from tiatoolbox_tpu.utils.misc import store_from_dat
+
+            store = store_from_dat(overlay_path)
+            self.add_layer("overlay", store, session_id=sid)
+            types = sorted(
+                {
+                    str(a.properties.get("type"))
+                    for a in store.values()
+                    if a.properties.get("type") is not None
+                }
+            )
+            return {"types": types}
         if overlay_path.suffix.lower() in (".db", ".geojson", ".ndjson"):
             return self._ctl_annotations(
                 "PUT", state, extra, {**params, "file_path": str(overlay_path)}
