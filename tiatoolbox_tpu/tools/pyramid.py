@@ -48,6 +48,28 @@ class TilePyramidGenerator:
         """Tile size including overlap borders."""
         return self.tile_size + 2 * self.overlap
 
+    def level_downsample(self, level: int) -> float:
+        """Downsample factor of a pyramid level (reference ``pyramid.py:80``)."""
+        return float(2 ** (self.level_count - level - 1))
+
+    @property
+    def sub_tile_level_count(self) -> int:
+        """Levels below one full tile (0 here; Zoomify overrides)."""
+        return 0
+
+    def get_thumb_tile(self) -> np.ndarray:
+        """Whole-slide thumbnail with longest edge = tile size."""
+        slide_dims = np.array(self.wsi.info.slide_dimensions)
+        tile_dim = self.tile_size + self.overlap
+        out_dims = np.round(
+            slide_dims / slide_dims.max() * tile_dim
+        ).astype(int)
+        bounds = (0, 0, *slide_dims)
+        thumb = self.wsi.read_bounds(bounds, resolution=0, units="level")
+        from tiatoolbox_tpu.utils.transforms import imresize
+
+        return imresize(thumb, output_size=tuple(out_dims))
+
     @property
     def level_count(self) -> int:
         """Number of levels in the generated pyramid."""
