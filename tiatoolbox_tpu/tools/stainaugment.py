@@ -110,6 +110,21 @@ class StainAugmentor:
             return {"image": self.apply(image)}
         return {"image": image}
 
+    def get_params(self) -> dict:
+        """albumentations plugin API (reference ``stainaugment.py:230-235``)."""
+        self.alpha = self.rng.uniform(1 - self.sigma1, 1 + self.sigma1)
+        self.beta = self.rng.uniform(-self.sigma2, self.sigma2)
+        return {}
+
+    def get_params_dependent_on_targets(self, params: dict) -> dict:  # noqa: ARG002
+        """albumentations plugin API: no target-dependent params."""
+        return {}
+
+    @staticmethod
+    def get_transform_init_args_names(**kwargs) -> tuple[str, ...]:  # noqa: ARG004
+        """albumentations plugin API: constructor argument names."""
+        return ("method", "stain_matrix", "sigma1", "sigma2", "augment_background")
+
 
 def augment_tiles_jax(tiles, stain_matrix, key, sigma1: float = 0.4, sigma2: float = 0.2):
     """Batched device stain augmentation with per-tile random factors.
