@@ -18,6 +18,22 @@ from tiatoolbox_tpu.utils.exceptions import MethodNotSupportedError
 from tiatoolbox_tpu.wsicore import wsireader
 
 
+class ExtractorParams(dict):
+    """Keyword arguments accepted by ``get_patch_extractor``
+    (reference ``patchextraction.py:36-57``): input_img,
+    locations_list, patch_size, resolution, units, pad_mode,
+    pad_constant_values, within_bound, input_mask, min_mask_ratio,
+    stride."""
+
+
+class PointsPatchExtractorParams(ExtractorParams):
+    """Keyword arguments for PointsPatchExtractor (reference :59-74)."""
+
+
+class SlidingWindowPatchExtractorParams(ExtractorParams):
+    """Keyword arguments for SlidingWindowPatchExtractor (reference :76-95)."""
+
+
 def validate_shape(shape: np.ndarray) -> bool:
     """True when a shape array is invalid (non-positive or wrong ndim)."""
     return (

@@ -268,6 +268,30 @@ class DFBRegister:
             ]
         )
 
+    @staticmethod
+    def estimate_affine_transform(
+        points_0: np.ndarray, points_1: np.ndarray
+    ) -> np.ndarray:
+        """Reference-named alias (``wsi_registration.py:681``): linear
+        least-squares affine mapping ``points_1`` onto ``points_0``."""
+        return DFBRegister.estimate_affine(
+            np.asarray(points_0), np.asarray(points_1)
+        )
+
+    @staticmethod
+    def find_points_inside_boundary(
+        mask: np.ndarray, points: np.ndarray
+    ) -> np.ndarray:
+        """Boolean mask of points inside a binary region (reference :784)."""
+        points = np.asarray(points)
+        cols = np.clip(points[:, 0].astype(int), 0, mask.shape[1] - 1)
+        rows = np.clip(points[:, 1].astype(int), 0, mask.shape[0] - 1)
+        inside = np.asarray(mask)[rows, cols] > 0
+        # points outside the array bounds are never inside
+        inside &= (points[:, 0] >= 0) & (points[:, 0] < mask.shape[1])
+        inside &= (points[:, 1] >= 0) & (points[:, 1] < mask.shape[0])
+        return inside
+
     def register(
         self,
         fixed_img: np.ndarray,
