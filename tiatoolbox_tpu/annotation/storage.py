@@ -419,6 +419,34 @@ class AnnotationStore(MutableMapping):
             )
         return store
 
+    def features(self):
+        """Generator of GeoJSON feature dicts (reference ``storage.py:1802``)."""
+        for ann in self.values():
+            yield ann.to_feature()
+
+    def to_geodict(self) -> dict:
+        """GeoJSON FeatureCollection dict (reference ``storage.py:1813``)."""
+        return {"type": "FeatureCollection", "features": list(self.features())}
+
+    @classmethod
+    def from_dataframe(cls, df) -> "AnnotationStore":
+        """Build a store from a dataframe with geometry + property columns."""
+        store = cls()
+        for key, row in df.iterrows():
+            row = dict(row)
+            geometry = row.pop("geometry")
+            if isinstance(geometry, (bytes, bytearray)):
+                geometry = wkb_to_geometry(bytes(geometry))
+            elif isinstance(geometry, str):
+                geometry = wkt_to_geometry(geometry)
+            properties = {
+                k.removeprefix("properties."): v
+                for k, v in row.items()
+                if v is not None and v == v  # noqa: PLR0124 - NaN filter
+            }
+            store[str(key)] = Annotation(geometry, properties)
+        return store
+
     def to_dataframe(self):
         """Annotations as a pandas DataFrame (geometry WKT + properties)."""
         import pandas as pd
@@ -449,8 +477,10 @@ class AnnotationStore(MutableMapping):
         """Release resources."""
 
     def __del__(self) -> None:
-        with contextlib.suppress(Exception):
+        try:  # noqa: SIM105 - contextlib may be torn down at interpreter exit
             self.close()
+        except BaseException:  # noqa: BLE001, S110
+            pass
 
 
 def _transform_geometry(geom: Geometry, transform) -> Geometry:
@@ -850,6 +880,24 @@ class SQLiteStore(AnnotationStore):
                 "SELECT name FROM sqlite_master WHERE type = 'index'"
             )
         ]
+
+    def drop_index(self, name: str) -> None:
+        """Drop an index created with ``create_index``."""
+        self.con.execute(f"DROP INDEX IF EXISTS {name}")
+        self.con.commit()
+
+    def add_area_column(self, *, mk_index: bool = True) -> None:
+        """Reference-API shim: this schema always stores ``area``
+        (reference ``storage.py:3780`` adds it lazily); optionally
+        index it."""
+        if mk_index and "area" not in self.indexes():
+            self.create_index("area", '"area"')
+
+    def remove_area_column(self) -> None:
+        """Reference-API shim: drops the area index (the column is part
+        of this schema and kept)."""
+        if "area" in self.indexes():
+            self.drop_index("area")
 
     def optimize(self, *, vacuum: bool = True) -> None:
         if vacuum:
