@@ -141,6 +141,60 @@ class TransformedWSIReader(WSIReader):
     def _info(self) -> WSIMeta:
         return self.reader.info
 
+    @staticmethod
+    def transform_points(points: np.ndarray, transform: np.ndarray) -> np.ndarray:
+        """Warp (N, 2) points through a 3x3 transform (reference :7052)."""
+        points = np.asarray(points, dtype=float)
+        padded = np.hstack([points, np.ones((points.shape[0], 1))])
+        return (padded @ np.asarray(transform).T)[:, :-1]
+
+    @staticmethod
+    def get_patch_dimensions(
+        size: tuple[int, int], transform: np.ndarray
+    ) -> tuple[int, int]:
+        """Max source patch size covering an output patch (reference :7072).
+
+        Translation is removed; for an affine map the extrema lie at
+        the output rectangle's corners.
+        """
+        w, h = int(size[0]), int(size[1])
+        t = np.asarray(transform, dtype=float) * np.array(
+            [[1, 1, 0], [1, 1, 0], [1, 1, 1]]
+        )
+        corners = np.array([[0, 0], [w, 0], [0, h], [w, h]], dtype=float)
+        warped = TransformedWSIReader.transform_points(corners, t)
+        span = warped.max(axis=0) - warped.min(axis=0)
+        return (int(np.ceil(span[0])), int(np.ceil(span[1])))
+
+    def get_transformed_location(
+        self, location: tuple[int, int], size: tuple[int, int]
+    ) -> tuple[tuple[int, int], tuple[int, int]]:
+        """Map an output-frame read onto the moving slide (reference :7126).
+
+        Returns the moving-frame top-left and the patch size needed to
+        cover the transformed rectangle.
+        """
+        if self._affine is None:
+            msg = "get_transformed_location requires an affine transform."
+            raise ValueError(msg)
+        inv = np.linalg.inv(self._affine.transform_level0)
+        corners = np.array(
+            [
+                [location[0], location[1]],
+                [location[0] + size[0], location[1]],
+                [location[0], location[1] + size[1]],
+                [location[0] + size[0], location[1] + size[1]],
+            ],
+            dtype=float,
+        )
+        warped = self.transform_points(corners, inv)
+        tl = warped.min(axis=0)
+        span = warped.max(axis=0) - tl
+        return (
+            (int(np.floor(tl[0])), int(np.floor(tl[1]))),
+            (int(np.ceil(span[0])), int(np.ceil(span[1]))),
+        )
+
     def _read_level_within(self, location, size, level: int) -> np.ndarray:
         ds = self.info.level_downsamples[level]
         loc0 = (int(location[0] * ds), int(location[1] * ds))
