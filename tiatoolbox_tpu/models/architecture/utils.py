@@ -110,3 +110,28 @@ def nms_on_detection_maps(
             if j != idx:
                 suppressed[j] = True
     return np.array(kept, dtype=int)
+
+
+def is_torch_compile_compatible() -> bool:
+    """API-parity shim (reference ``architecture/utils.py``).
+
+    The reference gates ``torch.compile`` on GPU capability; here every
+    model forward is already an XLA-jitted program, so there is no
+    separate compile step to gate.
+    """
+    return True
+
+
+def compile_model(model=None, *, mode: str = "default"):
+    """API-parity shim for the reference's ``torch.compile`` wrapper.
+
+    JAX models compile through ``jax.jit`` inside ``ModelABC`` — the
+    wrapper is returned unchanged. ``mode`` is accepted for signature
+    compatibility ("default", "reduce-overhead", "max-autotune",
+    "disable").
+    """
+    valid = {"default", "reduce-overhead", "max-autotune", "disable"}
+    if mode not in valid:
+        msg = f"Invalid mode: {mode}."
+        raise ValueError(msg)
+    return model
