@@ -115,6 +115,8 @@ rcParam: dict = {
     "jit_backend": "auto",
     "enable_pallas": True,  # use Pallas kernels where available (TPU only)
     "pretrained_model_info": None,  # lazily loaded registry dict
+    "compute_dtype": "auto",  # "auto" = bfloat16 on TPU, float32 elsewhere
+    "torch_compile_mode": "default",  # API parity; XLA jit is inherent
 }
 
 
