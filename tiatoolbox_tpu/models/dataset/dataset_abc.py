@@ -39,6 +39,16 @@ class PatchDatasetABC(ABC):
                 msg = "Input must be an NHWC array or list of patches/paths."
                 raise ValueError(msg)
 
+    @staticmethod
+    def load_img(path) -> np.ndarray:
+        """Read an image file as RGB (reference ``dataset_abc.py`` load_img)."""
+        return misc.imread(path)
+
+    @staticmethod
+    def preproc(image: np.ndarray) -> np.ndarray:
+        """Default preprocessing: identity (reference API)."""
+        return image
+
     def _preproc(self, patch: np.ndarray) -> np.ndarray:
         if self.preproc_func is not None:
             return self.preproc_func(patch)

@@ -125,3 +125,74 @@ class NucleusDetector(SemanticSegmentor):
                     group.from_array(key, np.asarray(processed_predictions[key]))
             return out_path
         return processed_predictions
+
+
+def make_points(xs_batch: np.ndarray, ys_batch: np.ndarray) -> list:
+    """(x, y) arrays → Point geometries (reference ``nucleus_detector.py:1259``)."""
+    from tiatoolbox_tpu.annotation.geometry import Point
+
+    return [Point(float(x), float(y)) for x, y in zip(xs_batch, ys_batch)]
+
+
+def save_detection_arrays_to_store(
+    detection_arrays: dict,
+    scale_factor=(1.0, 1.0),
+    class_dict: dict | None = None,
+    save_path=None,
+    batch_size: int = 5000,  # noqa: ARG001 - API parity (streaming batch)
+):
+    """Detection arrays → point annotation store (reference :1105-1200)."""
+    from tiatoolbox_tpu.utils.store_conversion import (
+        dict_to_store_nucleus_detector,
+    )
+
+    return dict_to_store_nucleus_detector(
+        detection_arrays,
+        scale_factor=scale_factor,
+        class_dict=class_dict,
+        save_path=save_path,
+    )
+
+
+def save_detection_arrays_to_qupath_json(
+    detection_arrays: dict,
+    scale_factor=(1.0, 1.0),
+    class_dict: dict | None = None,
+    save_path=None,
+):
+    """Detection arrays → QuPath point FeatureCollection (reference :1003-1100)."""
+    import json as _json
+
+    import numpy as _np
+
+    coords = _np.asarray(detection_arrays["coordinates"], dtype=float) * _np.asarray(
+        scale_factor, dtype=float
+    )
+    scores = detection_arrays.get("scores")
+    types = detection_arrays.get("types")
+    features = []
+    for i, (x, y) in enumerate(coords):
+        properties: dict = {"object_type": "detection"}
+        if types is not None:
+            type_value = types[i]
+            name = class_dict.get(int(type_value), type_value) if class_dict else type_value
+            properties["classification"] = {"name": str(name)}
+        if scores is not None:
+            properties["measurements"] = [
+                {"name": "probability", "value": float(scores[i])}
+            ]
+        features.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [float(x), float(y)]},
+                "properties": properties,
+            }
+        )
+    collection = {"type": "FeatureCollection", "features": features}
+    if save_path is not None:
+        from pathlib import Path as _Path
+
+        save_path = _Path(save_path).with_suffix(".json")
+        save_path.write_text(_json.dumps(collection, indent=2))
+        return save_path
+    return collection

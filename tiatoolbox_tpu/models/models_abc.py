@@ -91,6 +91,25 @@ class ModelABC:
         self.variables = variables
         self._jitted = None
 
+    def load_weights_from_file(self, weights) -> "ModelABC":
+        """Load .npz / orbax / torch checkpoint weights (reference
+        ``models_abc.py`` ``load_weights_from_file``); returns self."""
+        from tiatoolbox_tpu.models.architecture.weight_converter import (
+            load_weights_into,
+        )
+
+        load_weights_into(self, weights)
+        return self
+
+    @staticmethod
+    def load_torch_model(model: "ModelABC", weights) -> "ModelABC":
+        """Reference-named alias: load a torch checkpoint into ``model``."""
+        return model.load_weights_from_file(weights)
+
+    def to(self, device=None) -> "ModelABC":  # noqa: ARG002
+        """API-parity no-op: JAX manages device placement via the mesh."""
+        return self
+
     # -- forward ----------------------------------------------------------------
 
     def forward(self, batch: jnp.ndarray):
