@@ -63,3 +63,18 @@ def is_interactive() -> bool:
     except NameError:
         return False
     return True
+
+
+def has_network(
+    hostname: str = "huggingface.co", timeout: float = 3.0
+) -> bool:
+    """True when an outbound connection to ``hostname`` succeeds
+    (reference ``env_detection.py`` has_network)."""
+    import socket
+
+    try:
+        conn = socket.create_connection((hostname, 443), timeout=timeout)
+    except OSError:
+        return False
+    conn.close()
+    return True

@@ -17,3 +17,15 @@ class MethodNotSupportedError(Exception):
     def __init__(self, message: str = "Method is not supported") -> None:
         self.message = message
         super().__init__(message)
+
+
+class DimensionMismatchError(Exception):
+    """Raised when expected and actual array dimensions disagree
+    (reference ``exceptions.py:38``)."""
+
+    def __init__(self, expected_dims, actual_dims) -> None:
+        self.expected_dims = expected_dims
+        self.actual_dims = actual_dims
+        super().__init__(
+            f"Expected dimensions {expected_dims}, but got {actual_dims}."
+        )
