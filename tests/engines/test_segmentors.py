@@ -232,7 +232,7 @@ class TestMultiTaskTileMode:
         full = seg._results_to_instance_dict(
             seg.model.postproc_func([head_map]), offset=(0, 0)
         )
-        tiled = seg._process_tile_mode([head_map], (w, h))
+        tiled, _ = seg._process_tile_mode([head_map], (w, h))
 
         assert len(tiled) == len(full)
         full_centroids = np.array(
@@ -289,7 +289,7 @@ class TestMultiTaskTileMode:
         full = seg._results_to_instance_dict(
             seg.model.postproc_func([head_map]), offset=(0, 0)
         )
-        tiled = seg._process_tile_mode([head_map], (300, 200))
+        tiled, _ = seg._process_tile_mode([head_map], (300, 200))
         assert len(tiled) == len(full)
 
 
@@ -459,3 +459,40 @@ class TestDeviceCanvasEdgeCases:
         )
         probs = np.asarray(out[slide_path]["probabilities"])
         assert probs.shape == (48, 64, 2)
+
+
+class TestMultiTaskSemanticCanvas:
+    """Semantic-task predictions assemble across tiles (HoVerNetPlus-style)."""
+
+    def test_tile_mode_semantic_canvas(self, tmp_path) -> None:
+        from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
+            MultiTaskSegmentor,
+        )
+
+        class LayerModel:
+            @staticmethod
+            def postproc_func(maps):
+                m = np.asarray(maps[0])[..., 0]
+                return (
+                    {
+                        "task_type": "layers",
+                        "predictions": (m > 0.5).astype(np.uint8),
+                        "info_dict": {},
+                        "seg_type": "semantic",
+                    },
+                )
+
+        seg = MultiTaskSegmentor.__new__(MultiTaskSegmentor)
+        seg.model = LayerModel()
+        seg.tile_shape = (128, 128)
+        seg.margin = 16
+        seg.cache_dir = tmp_path
+        seg.memory_threshold = 0.5
+        w, h = 300, 260
+        head = np.zeros((h, w, 1), np.float32)
+        head[40:220, 30:280] = 1.0
+        instances, semantic = seg._process_tile_mode([head], (w, h))
+        assert instances == {}
+        canvas = np.asarray(semantic["layers"])
+        assert canvas.shape == (h, w)
+        assert np.array_equal(canvas, (head[..., 0] > 0.5).astype(np.uint8))

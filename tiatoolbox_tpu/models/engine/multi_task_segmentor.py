@@ -169,13 +169,20 @@ class MultiTaskSegmentor(SemanticSegmentor):
         head_maps = raw_predictions["head_maps"]
         canvas_wh = raw_predictions["canvas_wh"]
         n_pixels = canvas_wh[0] * canvas_wh[1]
+        semantic: dict = {}
         if n_pixels <= self.full_postproc_limit:
             maps = [np.asarray(m) for m in head_maps]
             results = self.model.postproc_func(maps)
             instances = self._results_to_instance_dict(results, offset=(0, 0))
+            for task in results:
+                if task.get("seg_type") == "semantic" and "predictions" in task:
+                    semantic[task["task_type"]] = np.asarray(task["predictions"])
         else:
-            instances = self._process_tile_mode(head_maps, canvas_wh)
-        return {"instances": instances, "canvas_wh": canvas_wh}
+            instances, semantic = self._process_tile_mode(head_maps, canvas_wh)
+        out = {"instances": instances, "canvas_wh": canvas_wh}
+        if semantic:
+            out["semantic_predictions"] = semantic
+        return out
 
     # -- reference 4-pass tile scheme --------------------------------------------------
 
@@ -347,6 +354,7 @@ class MultiTaskSegmentor(SemanticSegmentor):
         """
         w, h = int(canvas_wh[0]), int(canvas_wh[1])
         instances: dict = {}
+        semantic: dict = {}
         tile_sets = self._get_tile_info((w, h))
         for tile_mode, (boxes, flags) in enumerate(tile_sets):
             for tile_box, tile_flag in zip(boxes, flags):
@@ -361,6 +369,28 @@ class MultiTaskSegmentor(SemanticSegmentor):
                     continue
                 maps = [np.asarray(m[y0:y1, x0:x1]) for m in head_maps]
                 results = self.model.postproc_func(maps)
+                if tile_mode == 0:
+                    # grid tiles exactly cover the canvas: write
+                    # semantic-task predictions into full-size canvases
+                    # (reference _update_tile_based_predictions_array)
+                    for task in results:
+                        if (
+                            task.get("seg_type") != "semantic"
+                            or "predictions" not in task
+                        ):
+                            continue
+                        name = task["task_type"]
+                        if name not in semantic:
+                            semantic[name] = create_smart_array(
+                                (h, w),
+                                np.asarray(task["predictions"]).dtype,
+                                save_dir=self.cache_dir,
+                                memory_fraction=self.memory_threshold,
+                                name=f"semantic_{name}",
+                            )
+                        semantic[name][y0:y1, x0:x1] = np.asarray(
+                            task["predictions"]
+                        )[: y1 - y0, : x1 - x0]
                 tile_instances = self._results_to_instance_dict(
                     results, offset=(x0 - nx0, y0 - ny0)
                 )
@@ -394,7 +424,7 @@ class MultiTaskSegmentor(SemanticSegmentor):
                     info["centroid"] = np.asarray(info["centroid"]) + offset
                     info["contours"] = np.asarray(info["contours"]) + offset
                     instances[k] = info
-        return instances
+        return instances, semantic
 
     @staticmethod
     def _results_to_instance_dict(results, offset=(0, 0)) -> dict:
