@@ -44,6 +44,14 @@ def prepare_engines_save_dir(
     return save_dir
 
 
+class EngineABCRunParams(dict):
+    """Keyword arguments accepted by ``EngineABC.run`` (reference
+    ``engine_abc.py:80-133``): auto_get_mask, batch_size, class_dict,
+    device, num_workers, output_file, patch_input_shape, resolution,
+    return_labels, scale_factor, stride_shape, units, verbose,
+    wsireader_kwargs."""
+
+
 class EngineABC(ABC):
     """Base engine: model resolution, run loop, and output plumbing.
 

@@ -24,6 +24,11 @@ from tiatoolbox_tpu.parallel import BatchLoader
 from tiatoolbox_tpu.utils.zarrlite import create_smart_array
 
 
+class MultiTaskSegmentorRunParams(dict):
+    """``MultiTaskSegmentor.run`` keyword arguments: semantic-segmentor
+    params plus return_predictions (per-task dense outputs)."""
+
+
 class MultiTaskSegmentor(SemanticSegmentor):
     """Engine for multi-head models producing instance segmentations.
 

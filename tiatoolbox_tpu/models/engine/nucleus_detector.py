@@ -18,6 +18,11 @@ from tiatoolbox_tpu.models.architecture.utils import (
 from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
 
 
+class NucleusDetectorRunParams(dict):
+    """``NucleusDetector.run`` keyword arguments: EngineABCRunParams
+    plus min_distance / threshold_abs peak-detection overrides."""
+
+
 class NucleusDetector(SemanticSegmentor):
     """Detection engine for MapDe / SCCNN-style centroid-map models."""
 

@@ -12,6 +12,11 @@ import numpy as np
 from tiatoolbox_tpu.models.engine.engine_abc import EngineABC
 
 
+class PredictorRunParams(dict):
+    """``PatchPredictor.run`` keyword arguments: EngineABCRunParams
+    plus return_probabilities."""
+
+
 class PatchPredictor(EngineABC):
     """WSI/patch classifier engine (e.g. resnet18-kather100k).
 

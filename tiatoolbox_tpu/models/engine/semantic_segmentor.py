@@ -24,6 +24,11 @@ from tiatoolbox_tpu.parallel import BatchLoader
 from tiatoolbox_tpu.utils.zarrlite import create_smart_array
 
 
+class SemanticSegmentorRunParams(dict):
+    """``SemanticSegmentor.run`` keyword arguments: EngineABCRunParams
+    plus memory_threshold (RAM fraction before zarr spill)."""
+
+
 class SemanticSegmentor(EngineABC):
     """WSI semantic segmentation with tiled stitching.
 
