@@ -44,6 +44,17 @@ def prepare_engines_save_dir(
     return save_dir
 
 
+def _progress(dataloader, *, verbose: bool, desc: str):
+    """tqdm-wrapped batch iterator (reference engine loops use tqdm)."""
+    if not verbose:
+        return dataloader
+    try:
+        from tqdm.auto import tqdm
+    except ImportError:  # pragma: no cover
+        return dataloader
+    return tqdm(dataloader, total=len(dataloader), desc=desc, leave=False)
+
+
 class EngineABCRunParams(dict):
     """Keyword arguments accepted by ``EngineABC.run`` (reference
     ``engine_abc.py:80-133``): auto_get_mask, batch_size, class_dict,
@@ -242,7 +253,9 @@ class EngineABC(ABC):
         import time as _time
 
         t_start = _time.perf_counter()
-        for batch in dataloader:
+        for batch in _progress(
+            dataloader, verbose=self.verbose, desc="infer"
+        ):
             n_valid = batch["n_valid"]
             # dispatch WITHOUT syncing: the next batch's host→HBM copy
             # overlaps this batch's forward (async dispatch)

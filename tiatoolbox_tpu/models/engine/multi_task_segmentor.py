@@ -19,6 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from tiatoolbox_tpu import logger
+from tiatoolbox_tpu.models.engine.engine_abc import _progress
 from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
 from tiatoolbox_tpu.parallel import BatchLoader
 from tiatoolbox_tpu.utils.zarrlite import create_smart_array
@@ -106,7 +107,9 @@ class MultiTaskSegmentor(SemanticSegmentor):
         )
 
         outputs_arr = dataset.outputs
-        for batch in dataloader:
+        for batch in _progress(
+            dataloader, verbose=self.verbose, desc="infer-wsi"
+        ):
             heads = self.model.infer_batch(self.model, batch["image"], self.device)
             if not isinstance(heads, (tuple, list)):
                 heads = (heads,)

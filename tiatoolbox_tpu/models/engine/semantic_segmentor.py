@@ -18,7 +18,7 @@ from pathlib import Path
 import numpy as np
 
 from tiatoolbox_tpu.models.dataset import WSIPatchDataset
-from tiatoolbox_tpu.models.engine.engine_abc import EngineABC
+from tiatoolbox_tpu.models.engine.engine_abc import EngineABC, _progress
 from tiatoolbox_tpu.models.engine.io_config import IOSegmentorConfig
 from tiatoolbox_tpu.parallel import BatchLoader
 from tiatoolbox_tpu.utils.zarrlite import create_smart_array
@@ -152,7 +152,9 @@ class SemanticSegmentor(EngineABC):
         )
 
         outputs_arr = dataset.outputs
-        for batch in dataloader:
+        for batch in _progress(
+            dataloader, verbose=self.verbose, desc="infer-wsi"
+        ):
             probs = self.model.infer_batch(self.model, batch["image"], self.device)
             probs = np.asarray(probs, dtype=np.float32)
             n_valid = batch["n_valid"]
@@ -243,7 +245,9 @@ class SemanticSegmentor(EngineABC):
         dataset = dataloader.dataset
         outputs_arr = dataset.outputs
         canvas = DeviceCanvas((int(canvas_wh[1]), int(canvas_wh[0])), n_channels)
-        for batch in dataloader:
+        for batch in _progress(
+            dataloader, verbose=self.verbose, desc="infer-wsi"
+        ):
             probs = self.model.infer_batch_device(
                 self.model, batch["image"], self.device
             )
