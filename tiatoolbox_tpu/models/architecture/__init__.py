@@ -18,19 +18,51 @@ import jax.numpy as jnp
 from tiatoolbox_tpu import _get_pretrained_info, logger, rcParam
 
 
-def fetch_pretrained_weights(model_name: str) -> Path | None:
-    """Locate cached local weights for a registry model, if present.
+def fetch_pretrained_weights(
+    model_name: str,
+    save_path: str | Path | None = None,
+    *,
+    overwrite: bool = False,
+) -> Path | None:
+    """Locate (or download) weights for a registry model.
 
-    Searches ``$TIATOOLBOX_TPU_HOME/models/{model_name}.npz`` (flax
-    format) then ``.pth`` (torch, converted on load). Returns None when
-    no weights are cached (zero-egress environments).
+    Searches ``$TIATOOLBOX_TPU_HOME/models/{model_name}.npz`` (flax)
+    then ``.pth`` (torch, converted+cached on load). When nothing is
+    cached and the network is reachable, downloads the reference torch
+    checkpoint from the registry's ``hf_repo_id`` (reference
+    ``architecture/__init__.py:27-67``). Returns None in zero-egress
+    environments with no cache.
     """
-    home = Path(rcParam["TIATOOLBOX_HOME"]) / "models"
-    for suffix in (".npz", ".pth", ".tar"):
-        candidate = home / f"{model_name}{suffix}"
-        if candidate.exists():
-            return candidate
-    return None
+    home = Path(save_path) if save_path else (
+        Path(rcParam["TIATOOLBOX_HOME"]) / "models"
+    )
+    if not overwrite:
+        for suffix in (".npz", ".pth", ".tar"):
+            candidate = home / f"{model_name}{suffix}"
+            if candidate.exists():
+                return candidate
+    info = _get_pretrained_info().get(model_name, {})
+    repo_id = info.get("hf_repo_id")
+    if repo_id is None:
+        return None
+    from tiatoolbox_tpu.utils.env_detection import has_network
+
+    if not has_network(timeout=2.0):
+        return None
+    try:
+        from huggingface_hub import hf_hub_download
+
+        return Path(
+            hf_hub_download(
+                repo_id=repo_id,
+                filename=f"{model_name}.pth",
+                local_dir=home,
+                force_download=overwrite,
+            )
+        )
+    except Exception as exc:  # pragma: no cover - network-dependent
+        logger.warning("Weight download failed for %s: %s", model_name, exc)
+        return None
 
 
 def _locate_arch_class(class_name: str):
