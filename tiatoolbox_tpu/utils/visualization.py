@@ -169,6 +169,7 @@ class AnnotationRenderer:
         self.edge_thickness = edge_thickness
         self.zoomed_out_strat = zoomed_out_strat
         self.blur_radius = blur_radius
+        self.score_range: tuple[float, float] | None = None
         self._categorical_colors: dict = {}
         if mapper is None:
             mapper = "categorical"
@@ -182,6 +183,19 @@ class AnnotationRenderer:
             return tuple(int(255 * c) for c in rgba)
         if isinstance(self.mapper, dict):
             rgba = self.mapper.get(value, (0, 1, 0, 1))
+            return tuple(int(255 * c) for c in rgba)
+        if (
+            isinstance(self.mapper, str)
+            and self.mapper != "categorical"
+            and isinstance(value, (int, float))
+        ):
+            # continuous matplotlib colormap over score_range
+            import matplotlib
+
+            cmap = matplotlib.colormaps[self.mapper]
+            score = self.score_fn(value)
+            lo, hi = self.score_range or (0.0, 1.0)
+            rgba = cmap((score - lo) / max(hi - lo, 1e-9))
             return tuple(int(255 * c) for c in rgba)
         # categorical
         key = value if value is not None else properties.get("type", "default")

@@ -379,7 +379,10 @@ class TileServer:
         ]
         if not values:
             return {"range": None}
-        return {"range": [min(values), max(values)]}
+        lo, hi = min(values), max(values)
+        if method != "GET":  # PUT also primes the continuous colormap
+            state["renderer"].score_range = (lo, hi)
+        return {"range": [lo, hi]}
 
     def _ctl_commit(self, method, state, extra, params):  # noqa: ARG002
         from tiatoolbox_tpu.annotation.storage import SQLiteStore
