@@ -38,6 +38,8 @@ VIEWER_HTML = """<!DOCTYPE html>
   <input id="ovpath" type="text" placeholder="overlay path (.db/.geojson/img)"
          size="28"/>
   <button id="ovload">load overlay</button>
+  <input id="slide2" type="text" placeholder="second slide path" size="22"/>
+  <button id="split">split view</button>
   <label>colour by <select id="colorprop"><option value="">type</option>
   </select></label>
   <span id="pos"></span>
@@ -89,41 +91,45 @@ function levelForScale(s) {{
   return [Math.max(0, Math.min(nLevels - 1, lvl)), nLevels];
 }}
 
-function tileURL(layer, z, x, y) {{
-  return `/tileserver/layer/${{layer}}/default/zoomify/TileGroup0/${{z}}-${{x}}-${{y}}.jpg`;
+let auxSession = null;  // second (split-view) slide session id
+
+function tileURL(layer, z, x, y, session) {{
+  const s = session || 'default';
+  return `/tileserver/layer/${{layer}}/${{s}}/zoomify/TileGroup0/${{z}}-${{x}}-${{y}}.jpg`;
 }}
 
-function getTile(layer, z, x, y) {{
-  const key = `${{layer}}/${{z}}/${{x}}/${{y}}`;
+function getTile(layer, z, x, y, session) {{
+  const key = `${{session || 'default'}}/${{layer}}/${{z}}/${{x}}/${{y}}`;
   if (tileCache.has(key)) return tileCache.get(key);
   const img = new Image();
   img.onload = draw;
-  img.src = tileURL(layer, z, x, y);
+  img.src = tileURL(layer, z, x, y, session);
   tileCache.set(key, img);
   if (tileCache.size > 600) tileCache.delete(tileCache.keys().next().value);
   return img;
 }}
 
-function draw() {{
-  if (!meta) return;
-  ctx.fillStyle = '#111';
-  ctx.fillRect(0, 0, canvas.width, canvas.height);
+function drawPane(clipX, clipW, paneLayers, session, paneOx) {{
+  ctx.save();
+  ctx.beginPath();
+  ctx.rect(clipX, 0, clipW, canvas.height);
+  ctx.clip();
   const [lvl, nLevels] = levelForScale(scale);
-  const ds = Math.pow(2, nLevels - 1 - lvl);  // slide px per level px
-  const tileWorld = TILE * ds;                 // slide px per tile
-  const x0 = Math.max(0, Math.floor((-ox / scale) / tileWorld));
+  const ds = Math.pow(2, nLevels - 1 - lvl);
+  const tileWorld = TILE * ds;
+  const x0 = Math.max(0, Math.floor(((clipX - paneOx) / scale) / tileWorld));
   const y0 = Math.max(0, Math.floor((-oy / scale) / tileWorld));
-  const x1 = Math.ceil(((canvas.width - ox) / scale) / tileWorld);
+  const x1 = Math.ceil(((clipX + clipW - paneOx) / scale) / tileWorld);
   const y1 = Math.ceil(((canvas.height - oy) / scale) / tileWorld);
-  for (let li = 0; li < layers.length; li++) {{
-    const name = layers[li];
-    if (!visible[name]) continue;
+  for (let li = 0; li < paneLayers.length; li++) {{
+    const name = paneLayers[li];
+    if (!session && !visible[name]) continue;
     ctx.globalAlpha = li === 0 ? 1.0 : alpha;
     for (let ty = y0; ty <= y1; ty++) {{
       for (let tx = x0; tx <= x1; tx++) {{
-        const img = getTile(name, lvl, tx, ty);
+        const img = getTile(name, lvl, tx, ty, session);
         if (img.complete && img.naturalWidth > 0) {{
-          ctx.drawImage(img, ox + tx * tileWorld * scale,
+          ctx.drawImage(img, paneOx + tx * tileWorld * scale,
                         oy + ty * tileWorld * scale,
                         tileWorld * scale, tileWorld * scale);
         }}
@@ -131,6 +137,23 @@ function draw() {{
     }}
   }}
   ctx.globalAlpha = 1.0;
+  ctx.restore();
+}}
+
+function draw() {{
+  if (!meta) return;
+  ctx.fillStyle = '#111';
+  ctx.fillRect(0, 0, canvas.width, canvas.height);
+  if (auxSession) {{
+    const half = canvas.width / 2;
+    drawPane(0, half - 1, layers, null, ox);
+    // right pane: linked pan/zoom, same world transform shifted by half
+    drawPane(half + 1, half - 1, ['slide'], auxSession, ox + half);
+    ctx.fillStyle = '#555';
+    ctx.fillRect(half - 1, 0, 2, canvas.height);
+  }} else {{
+    drawPane(0, canvas.width, layers, null, ox);
+  }}
 }}
 
 let dragging = false, lastX = 0, lastY = 0, moved = false;
@@ -209,6 +232,16 @@ document.getElementById('colorprop').onchange = async e => {{
   await ctl('/tileserver/color_prop', 'PUT', {{prop: e.target.value}});
   tileCache.clear();
   draw();
+}};
+
+document.getElementById('split').onclick = async () => {{
+  const path = document.getElementById('slide2').value;
+  if (auxSession || !path) {{ auxSession = null; draw(); return; }}
+  const sess = await ctl('/tileserver/session_id', 'PUT');
+  if (!sess) return;
+  const ok = await ctl('/tileserver/slide', 'PUT',
+                       {{session_id: sess.session_id, slide_path: path}});
+  if (ok) {{ auxSession = sess.session_id; tileCache.clear(); draw(); }}
 }};
 init();
 </script>
