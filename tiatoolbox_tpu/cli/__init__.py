@@ -97,6 +97,13 @@ def read_bounds(img_input, output_path, resolution, units, region) -> None:
     img = wsi.read_bounds(bounds, resolution=resolution, units=units)
     if output_path is None:
         output_path = Path(img_input).parent / "im_region.jpg"
+    output_path = Path(output_path)
+    if output_path.suffix.lower() not in (".jpg", ".jpeg", ".png", ".tiff", ".tif"):
+        output_path = (
+            output_path / "im_region.jpg"
+            if output_path.is_dir()
+            else output_path.with_suffix(".jpg")
+        )
     imwrite(output_path, img)
     click.echo(f"Saved region to {output_path}.")
 
@@ -209,10 +216,17 @@ def _run_engine_cli(
         verbose=verbose,
     )
     masks_list = [masks] * len(files_all) if masks else None
+    # "tile" mode grid-processes plain images: convert the registry
+    # ioconfig to baseline units since tiles carry no mpp (reference
+    # semantic_segmentor.py tile-mode ioconfig conversion)
+    ioconfig = engine.ioconfig.to_baseline() if (
+        mode == "tile" and engine.ioconfig is not None
+    ) else None
     out = engine.run(
         [str(f) for f in files_all],
         masks=masks_list,
-        patch_mode=(mode == "tile"),
+        ioconfig=ioconfig,
+        patch_mode=False,
         output_type=output_type,
         save_dir=output_path / "raw",
         overwrite=True,
