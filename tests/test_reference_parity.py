@@ -633,3 +633,27 @@ class TestArchitectureWeightParity:
             assert np.abs(
                 t_f.numpy().transpose(0, 2, 3, 1) - np.asarray(f_f)
             ).max() < 1e-4
+
+
+def test_metrics_parity() -> None:
+    """pair_coordinates / f1_detection / dice match the reference exactly."""
+    from tiatoolbox.utils import metrics as ref_metrics
+
+    from tiatoolbox_tpu.utils import metrics
+
+    rng = np.random.default_rng(7)
+    true = rng.random((120, 2)) * 500
+    pred = true[: 90] + rng.normal(0, 2.0, (90, 2))
+    pred = np.vstack([pred, rng.random((40, 2)) * 500])
+
+    ours = metrics.pair_coordinates(true, pred, 6.0)
+    refs = ref_metrics.pair_coordinates(true, pred, 6.0)
+    for a, b in zip(ours, refs):
+        assert np.array_equal(np.sort(np.asarray(a).ravel()),
+                              np.sort(np.asarray(b).ravel()))
+    assert metrics.f1_detection(true, pred, 6.0) == ref_metrics.f1_detection(
+        true, pred, 6.0
+    )
+    gt = rng.random((64, 64)) > 0.5
+    pr = rng.random((64, 64)) > 0.5
+    assert metrics.dice(gt, pr) == ref_metrics.dice(gt, pr)
