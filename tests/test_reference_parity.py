@@ -657,3 +657,30 @@ def test_metrics_parity() -> None:
     gt = rng.random((64, 64)) > 0.5
     pr = rng.random((64, 64)) > 0.5
     assert metrics.dice(gt, pr) == ref_metrics.dice(gt, pr)
+
+
+def test_zoomify_layout_parity() -> None:
+    """Zoomify level/tile layout matches the reference generator."""
+    from tiatoolbox.tools.pyramid import ZoomifyGenerator as RefZoomify
+    from tiatoolbox.wsicore.wsireader import VirtualWSIReader as RefVirtual
+
+    from tiatoolbox_tpu.tools.pyramid import ZoomifyGenerator
+    from tiatoolbox_tpu.wsicore.wsireader import VirtualWSIReader
+
+    img = np.zeros((768, 1024, 3), np.uint8)
+    ref_gen = RefZoomify(RefVirtual(img), tile_size=256)
+    our_gen = ZoomifyGenerator(VirtualWSIReader(img), tile_size=256)
+    assert our_gen.level_count == ref_gen.level_count
+    for level in range(ref_gen.level_count):
+        assert tuple(our_gen.level_dimensions(level)) == tuple(
+            ref_gen.level_dimensions(level)
+        )
+        assert tuple(our_gen.tile_grid_size(level)) == tuple(
+            ref_gen.tile_grid_size(level)
+        )
+    grid_w, grid_h = ref_gen.tile_grid_size(ref_gen.level_count - 1)
+    for x in range(grid_w):
+        for y in range(grid_h):
+            assert str(our_gen.tile_path(ref_gen.level_count - 1, x, y)) == str(
+                ref_gen.tile_path(ref_gen.level_count - 1, x, y)
+            )
