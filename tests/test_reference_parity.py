@@ -684,3 +684,25 @@ def test_zoomify_layout_parity() -> None:
             assert str(our_gen.tile_path(ref_gen.level_count - 1, x, y)) == str(
                 ref_gen.tile_path(ref_gen.level_count - 1, x, y)
             )
+
+
+def test_graph_helpers_parity() -> None:
+    """delaunay_adjacency / affinity_to_edge_index match the reference."""
+    from tiatoolbox.tools.graph import (
+        affinity_to_edge_index as ref_ae,
+        delaunay_adjacency as ref_da,
+    )
+
+    from tiatoolbox_tpu.tools.graph import (
+        affinity_to_edge_index,
+        delaunay_adjacency,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((100, 2)) * 500
+    a_ref = np.asarray(ref_da(pts, dthresh=60.0))
+    a_our = np.asarray(delaunay_adjacency(pts, dthresh=60.0))
+    assert np.array_equal(a_ref, a_our)
+    e_ref = np.sort(np.asarray(ref_ae(a_ref)), axis=1)
+    e_our = np.sort(np.asarray(affinity_to_edge_index(a_our)), axis=1)
+    assert np.array_equal(e_ref, e_our)
