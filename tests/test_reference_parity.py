@@ -706,3 +706,26 @@ def test_graph_helpers_parity() -> None:
     e_ref = np.sort(np.asarray(ref_ae(a_ref)), axis=1)
     e_our = np.sort(np.asarray(affinity_to_edge_index(a_our)), axis=1)
     assert np.array_equal(e_ref, e_our)
+
+
+def test_misc_helpers_parity(source) -> None:
+    """ppu2mpp / get_bounding_box / contrast_enhancer match the reference."""
+    from tiatoolbox.utils import misc as ref_misc
+
+    from tiatoolbox_tpu.utils import misc
+
+    for units in ("cm", "inch", 2, 3, "m", "mm"):
+        assert misc.ppu2mpp(4000, units) == ref_misc.ppu2mpp(4000, units)
+
+    mask = np.zeros((60, 80), bool)
+    mask[10:30, 20:55] = True
+    assert np.array_equal(
+        misc.get_bounding_box(mask), ref_misc.get_bounding_box(mask)
+    )
+
+    assert np.array_equal(
+        misc.contrast_enhancer(source.copy(), soft_cdf=False)
+        if "soft_cdf" in misc.contrast_enhancer.__code__.co_varnames
+        else misc.contrast_enhancer(source.copy()),
+        ref_misc.contrast_enhancer(source.copy()),
+    )
