@@ -94,6 +94,22 @@ class TestEngineRun:
         out = engine.run(patches, patch_mode=True)
         assert out["probabilities"].shape == (6, 3)
 
+    def test_bounded_inflight_window(self, small_model) -> None:
+        """Device outputs must be fetched with a bounded in-flight window.
+
+        Guards against the round-1 HBM-growth bug: every batch output was
+        retained on device until the loop ended (OOM for feature
+        extraction over large WSIs).
+        """
+        engine = TestEngine(small_model, batch_size=2, num_loader_workers=0)
+        patches = np.stack(
+            [synthetic_he_patch((32, 32), seed=s) for s in range(24)]
+        )
+        out = engine.run(patches, patch_mode=True, max_inflight_batches=2)
+        assert out["probabilities"].shape == (24, 3)
+        # 12 batches dispatched, but never more than the window on device.
+        assert engine._max_inflight_seen <= 2
+
     def test_patch_mode_labels(self, small_model) -> None:
         engine = TestEngine(small_model, batch_size=4, num_loader_workers=0)
         patches = np.stack(

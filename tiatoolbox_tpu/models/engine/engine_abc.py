@@ -108,6 +108,9 @@ class EngineABC(ABC):
         self.class_dict: dict | None = None
         self.output_file: str | None = None
         self.wsireader_kwargs: dict = {}
+        # Max device-output batches left unfetched in HBM during the
+        # dispatch loop (bounds peak HBM; >1 keeps transfer/compute overlap).
+        self.max_inflight_batches = 4
 
     @staticmethod
     def _initialize_model_ioconfig(model, weights):
@@ -150,6 +153,7 @@ class EngineABC(ABC):
         "num_workers",
         "output_file",
         "wsireader_kwargs",
+        "max_inflight_batches",
     )
 
     def _update_run_params(self, **kwargs) -> None:
@@ -244,13 +248,27 @@ class EngineABC(ABC):
         """Stream batches through ``infer_batch``; accumulate host outputs."""
         from tiatoolbox_tpu.utils.profiling import StageTimer
 
+        from collections import deque
+
         timer = StageTimer()
-        device_outputs = []  # device handles; fetched after the dispatch loop
-        n_valids = []
+        # Bounded in-flight window: device outputs are fetched to host as
+        # soon as `max_inflight_batches` newer dispatches are queued, so
+        # peak HBM holds O(window) batch outputs — not the whole slide
+        # (critical for DeepFeatureExtractor embeddings over 100k patches).
+        # A window >1 still fully overlaps host→HBM copies with compute.
+        window = max(1, int(getattr(self, "max_inflight_batches", 4)))
+        inflight: deque = deque()  # (device_out, n_valid)
+        probabilities = []  # host arrays, in dispatch order
         coordinates = []
         labels = []
         n_total = 0
+        self._max_inflight_seen = 0  # observability for tests/profiling
         import time as _time
+
+        def _fetch(out, n):
+            if isinstance(out, (tuple, list)):  # e.g. HoVerNet: per-head maps
+                return tuple(np.asarray(head)[:n] for head in out)
+            return np.asarray(out)[:n]
 
         t_start = _time.perf_counter()
         for batch in _progress(
@@ -259,25 +277,23 @@ class EngineABC(ABC):
             n_valid = batch["n_valid"]
             # dispatch WITHOUT syncing: the next batch's host→HBM copy
             # overlaps this batch's forward (async dispatch)
-            device_outputs.append(
-                self.model.infer_batch_device(self.model, batch["image"], self.device)
+            inflight.append(
+                (
+                    self.model.infer_batch_device(self.model, batch["image"], self.device),
+                    n_valid,
+                )
             )
-            n_valids.append(n_valid)
+            if len(inflight) > window:
+                probabilities.append(_fetch(*inflight.popleft()))
+            self._max_inflight_seen = max(self._max_inflight_seen, len(inflight))
             n_total += n_valid
             if return_coordinates and "coords" in batch:
                 coordinates.append(batch["coords"][:n_valid])
             if self.return_labels and "label" in batch:
                 labels.append(np.asarray(batch["label"])[:n_valid])
-        multi_head = device_outputs and isinstance(device_outputs[0], (tuple, list))
-        if multi_head:  # e.g. HoVerNet: one output map per head
-            probabilities = [
-                tuple(np.asarray(head)[:n] for head in out)
-                for out, n in zip(device_outputs, n_valids)
-            ]
-        else:
-            probabilities = [
-                np.asarray(out)[:n] for out, n in zip(device_outputs, n_valids)
-            ]
+        while inflight:
+            probabilities.append(_fetch(*inflight.popleft()))
+        multi_head = probabilities and isinstance(probabilities[0], tuple)
         timer.add("infer", _time.perf_counter() - t_start, items=n_total)
         if self.verbose:
             timer.report()
