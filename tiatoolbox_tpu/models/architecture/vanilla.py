@@ -106,9 +106,7 @@ class CNNModel(ModelABC):
 
     @classmethod
     def infer_batch_device(cls, model: "CNNModel", batch_data, device: str | None = None):  # noqa: ARG003
-        batch = model.shard_batch(batch_data)
-        batch = jnp.asarray(batch).astype(model.compute_dtype) / 255.0
-        return model(batch)
+        return model.apply_u8(model.stage_batch(batch_data))
 
 
 class CNNBackbone(ModelABC):
@@ -128,6 +126,4 @@ class CNNBackbone(ModelABC):
 
     @classmethod
     def infer_batch_device(cls, model: "CNNBackbone", batch_data, device: str | None = None):  # noqa: ARG003
-        batch = model.shard_batch(batch_data)
-        batch = jnp.asarray(batch).astype(model.compute_dtype) / 255.0
-        return model(batch)
+        return model.apply_u8(model.stage_batch(batch_data))

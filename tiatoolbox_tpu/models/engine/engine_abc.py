@@ -44,7 +44,7 @@ def prepare_engines_save_dir(
     return save_dir
 
 
-def _progress(dataloader, *, verbose: bool, desc: str):
+def _progress(dataloader, *, verbose: bool, desc: str, total: int | None = None):
     """tqdm-wrapped batch iterator (reference engine loops use tqdm)."""
     if not verbose:
         return dataloader
@@ -52,7 +52,9 @@ def _progress(dataloader, *, verbose: bool, desc: str):
         from tqdm.auto import tqdm
     except ImportError:  # pragma: no cover
         return dataloader
-    return tqdm(dataloader, total=len(dataloader), desc=desc, leave=False)
+    if total is None:
+        total = len(dataloader)
+    return tqdm(dataloader, total=total, desc=desc, leave=False)
 
 
 class EngineABCRunParams(dict):
@@ -111,6 +113,9 @@ class EngineABC(ABC):
         # Max device-output batches left unfetched in HBM during the
         # dispatch loop (bounds peak HBM; >1 keeps transfer/compute overlap).
         self.max_inflight_batches = 4
+        # Concurrent host→HBM copy streams (0 = stage inline). Two
+        # streams measurably out-run one on both tunneled and PCIe links.
+        self.transfer_threads = 2
 
     @staticmethod
     def _initialize_model_ioconfig(model, weights):
@@ -154,6 +159,7 @@ class EngineABC(ABC):
         "output_file",
         "wsireader_kwargs",
         "max_inflight_batches",
+        "transfer_threads",
     )
 
     def _update_run_params(self, **kwargs) -> None:
@@ -271,8 +277,16 @@ class EngineABC(ABC):
             return np.asarray(out)[:n]
 
         t_start = _time.perf_counter()
+        # Stage images onto the device from concurrent transfer threads
+        # so several host→HBM copies overlap each other and the compute.
+        n_streams = int(getattr(self, "transfer_threads", 2))
+        batch_iter = (
+            dataloader.iter_staged(self.model.stage_batch, n_streams)
+            if hasattr(dataloader, "iter_staged")
+            else dataloader
+        )
         for batch in _progress(
-            dataloader, verbose=self.verbose, desc="infer"
+            batch_iter, verbose=self.verbose, desc="infer", total=len(dataloader)
         ):
             n_valid = batch["n_valid"]
             # dispatch WITHOUT syncing: the next batch's host→HBM copy

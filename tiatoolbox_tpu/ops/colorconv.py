@@ -30,3 +30,65 @@ def rgb2grey(img: jnp.ndarray) -> jnp.ndarray:
     img = img.astype(jnp.float32)
     grey = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
     return jnp.round(grey).astype(jnp.uint8)
+
+
+# -- YUV 4:2:0 wire format ---------------------------------------------------------
+#
+# Streaming-layer transport: host→HBM links (PCIe, or a tunneled relay)
+# are the end-to-end bottleneck for patch inference, and WSI tiles are
+# JPEG 4:2:0 at rest — the chroma detail a full-range 4:2:0 repack drops
+# was never in the file. Packing Y at full resolution plus 2x2-averaged
+# Cb/Cr halves the bytes per patch (1.5 B/px vs 3 B/px); the device
+# program unpacks, upsamples, and converts back to RGB fused into the
+# model forward. Full-range BT.601 (NOT cv2's studio-range I420, which
+# clips to 16..235 and loses dynamic range).
+
+def rgb_batch_to_yuv420(batch) -> "np.ndarray":
+    """Pack uint8 RGB [B,H,W,3] → uint8 planes [B, H*3/2, W] (host).
+
+    Layout: Y plane (H rows), then Cb then Cr, each (H/2, W/2) packed
+    row-major into H/4 rows of width W. Uses OpenCV's full-range YCrCb
+    (SIMD, releases the GIL on the engine's transfer threads) with a
+    2x2 box filter for chroma. H must be a multiple of 4, W of 2.
+    """
+    import cv2
+    import numpy as np
+
+    batch = np.asarray(batch)
+    n, h, w, _ = batch.shape
+    if h % 4 or w % 2:
+        msg = f"yuv420 wire format needs H%4==0 and W%2==0, got {h}x{w}."
+        raise ValueError(msg)
+    quarter = h // 4
+    out = np.empty((n, h + h // 2, w), np.uint8)
+    half = (w // 2, h // 2)
+    for i in range(n):
+        ycrcb = cv2.cvtColor(batch[i], cv2.COLOR_RGB2YCrCb)
+        out[i, :h] = ycrcb[..., 0]
+        cb = cv2.resize(ycrcb[..., 2], half, interpolation=cv2.INTER_AREA)
+        cr = cv2.resize(ycrcb[..., 1], half, interpolation=cv2.INTER_AREA)
+        out[i, h : h + quarter] = cb.reshape(quarter, w)
+        out[i, h + quarter :] = cr.reshape(quarter, w)
+    return out
+
+
+def yuv420_batch_to_rgb(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Unpack uint8 planes [B, H*3/2, W] → RGB [B,H,W,3] in 0..255.
+
+    Device-side inverse of :func:`rgb_batch_to_yuv420` (OpenCV's
+    full-range YCrCb constants); chroma is upsampled 2x2 nearest.
+    Output is float (clipped, not rounded) — it feeds straight into
+    the model's normalize.
+    """
+    n, h15, w = x.shape
+    h = (h15 * 2) // 3
+    quarter = h // 4
+    y = x[:, :h].astype(dtype)
+    cb = x[:, h : h + quarter].reshape(n, h // 2, w // 2).astype(dtype) - 128.0
+    cr = x[:, h + quarter :].reshape(n, h // 2, w // 2).astype(dtype) - 128.0
+    cb = jnp.repeat(jnp.repeat(cb, 2, axis=1), 2, axis=2)
+    cr = jnp.repeat(jnp.repeat(cr, 2, axis=1), 2, axis=2)
+    r = y + 1.403 * cr
+    g = y - 0.714 * cr - 0.344 * cb
+    b = y + 1.773 * cb
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)

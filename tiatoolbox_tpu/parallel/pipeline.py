@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
@@ -54,22 +55,64 @@ class BatchLoader:
         return -(-len(self.indices) // self.batch_size)
 
     def _load_batch(self, batch_indices: np.ndarray, pool) -> dict:
-        if pool is not None:
-            items = list(pool.map(self.dataset.__getitem__, batch_indices))
-        else:
-            items = [self.dataset[i] for i in batch_indices]
-        n_valid = len(items)
+        n_valid = len(batch_indices)
         batch: dict = {"n_valid": n_valid, "indices": np.asarray(batch_indices)}
-        for key in items[0]:
-            values = [np.asarray(item[key]) for item in items]
-            stacked = np.stack(values, axis=0)
+        first = self.dataset[batch_indices[0]]
+        # Preallocate fixed-shape buffers from the first item and let the
+        # workers write into their slots directly — avoids the extra
+        # stack/concatenate copy per batch (19 MB for a 128x224x224x3
+        # uint8 batch) and yields contiguous buffers for device_put.
+        buffers = {}
+        for key, value in first.items():
+            arr = np.asarray(value)
+            buffers[key] = np.empty((self.batch_size, *arr.shape), arr.dtype)
+            buffers[key][0] = arr
+
+        def _fill(slot_idx: int) -> None:
+            item = self.dataset[batch_indices[slot_idx]]
+            for key, value in item.items():
+                buffers[key][slot_idx] = value
+
+        rest = range(1, n_valid)
+        if pool is not None:
+            list(pool.map(_fill, rest))
+        else:
+            for i in rest:
+                _fill(i)
+        for key, buf in buffers.items():
             if n_valid < self.batch_size:  # pad tail batch to fixed shape
-                pad = self.batch_size - n_valid
-                stacked = np.concatenate(
-                    [stacked, np.repeat(stacked[-1:], pad, axis=0)], axis=0
-                )
-            batch[key] = stacked
+                buf[n_valid:] = buf[n_valid - 1]
+            batch[key] = buf
         return batch
+
+    def iter_staged(self, stage_fn, transfer_threads: int = 2) -> Iterator[dict]:
+        """Iterate batches with "image" already staged on device.
+
+        ``stage_fn(image_u8) -> device_array`` is run by a pool of
+        ``transfer_threads`` so several host→HBM copies are in flight
+        concurrently (a single tunneled/PCIe stream rarely saturates the
+        link: measured +20% aggregate bandwidth at 2 streams on the
+        tunneled v5e). Order is preserved; other keys pass through.
+        """
+        if transfer_threads <= 0:
+            for batch in self:
+                batch["image"] = stage_fn(batch["image"])
+                yield batch
+            return
+        with ThreadPoolExecutor(max_workers=transfer_threads) as pool:
+            pending: deque = deque()
+            for batch in self:
+                image = batch.pop("image")
+                pending.append((pool.submit(stage_fn, image), batch))
+                # keep at most transfer_threads+1 puts in flight
+                while len(pending) > transfer_threads + 1:
+                    fut, meta = pending.popleft()
+                    meta["image"] = fut.result()
+                    yield meta
+            while pending:
+                fut, meta = pending.popleft()
+                meta["image"] = fut.result()
+                yield meta
 
     def __iter__(self) -> Iterator[dict]:
         n_batches = len(self)

@@ -161,6 +161,7 @@ class WSIReader:
     @info.setter
     def info(self, meta: WSIMeta) -> None:
         self._m_info = meta
+        self._optlevel_cache = {}  # level search depends on the metadata
 
     def _info(self) -> WSIMeta:
         raise NotImplementedError
@@ -173,8 +174,26 @@ class WSIReader:
         """Most-downscaled level that is still >= the target resolution.
 
         Returns (level, post-read scale factor); reference
-        ``wsireader.py:744-802``.
+        ``wsireader.py:744-802``. Memoized per (resolution, units): grid
+        readers (WSIPatchDataset) call this for every patch with
+        identical arguments, and the level search dominated the warm
+        read path before caching.
         """
+        try:
+            key = (
+                tuple(np.atleast_1d(np.asarray(resolution, dtype=float))),
+                units,
+                precision,
+            )
+        except (TypeError, ValueError):
+            key = None
+        if key is not None:
+            cache = getattr(self, "_optlevel_cache", None)
+            if cache is None:
+                cache = self._optlevel_cache = {}
+            hit = cache.get(key)
+            if hit is not None:
+                return hit[0], hit[1].copy()
         level_scales = self.info.relative_level_scales(resolution, units)
         sufficient = [
             bool(np.all(np.round(x, decimals=precision) <= 1)) for x in level_scales
@@ -190,6 +209,8 @@ class WSIReader:
                 "higher than the WSI baseline (maximum encoded resolution). "
                 "Interpolation of read regions may occur.",
             )
+        if key is not None:
+            self._optlevel_cache[key] = (level, np.array(scale))
         return level, scale
 
     def find_read_rect_params(
