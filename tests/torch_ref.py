@@ -388,3 +388,99 @@ class TorchTimmEfficientNetV2Features(nn.Module):
             if stage_idx in self.feature_stages:
                 features.append(x)
         return features
+
+
+class _TorchViTBlock(nn.Module):
+    """timm-style pre-norm ViT block (packed qkv, optional layer-scale/SwiGLU)."""
+
+    def __init__(self, dim, heads, mlp_ratio, init_values=None, swiglu=False,
+                 swiglu_packed_names=False):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)  # timm vit convention
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        hidden = int(dim * mlp_ratio)
+        self.swiglu = swiglu
+        self.mlp = nn.Module()
+        fc1 = nn.Linear(dim, 2 * hidden if swiglu else hidden)
+        fc2 = nn.Linear(hidden, dim)
+        if swiglu_packed_names:  # timm SwiGLUPacked naming
+            self.mlp.w12, self.mlp.w3 = fc1, fc2
+        else:
+            self.mlp.fc1, self.mlp.fc2 = fc1, fc2
+        if init_values is not None:
+            self.ls1 = nn.Module()
+            self.ls1.gamma = nn.Parameter(torch.full((dim,), init_values))
+            self.ls2 = nn.Module()
+            self.ls2.gamma = nn.Parameter(torch.full((dim,), init_values))
+        else:
+            self.ls1 = self.ls2 = None
+
+    def _attention(self, x):
+        b, n, d = x.shape
+        hd = d // self.heads
+        qkv = self.attn.qkv(x).reshape(b, n, 3, self.heads, hd)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        att = (q @ k.transpose(-2, -1)) / hd ** 0.5
+        out = (att.softmax(-1) @ v).transpose(1, 2).reshape(b, n, d)
+        return self.attn.proj(out)
+
+    def _mlp(self, x):
+        fc1 = getattr(self.mlp, "fc1", None) or self.mlp.w12
+        fc2 = getattr(self.mlp, "fc2", None) or self.mlp.w3
+        h = fc1(x)
+        if self.swiglu:
+            a, g = h.chunk(2, dim=-1)
+            h = torch.nn.functional.silu(a) * g
+        else:
+            h = torch.nn.functional.gelu(h)
+        return fc2(h)
+
+    def forward(self, x):
+        h = self._attention(self.norm1(x))
+        if self.ls1 is not None:
+            h = h * self.ls1.gamma
+        x = x + h
+        h = self._mlp(self.norm2(x))
+        if self.ls2 is not None:
+            h = h * self.ls2.gamma
+        return x + h
+
+
+class TorchViT(nn.Module):
+    """timm-graph ViT tile encoder (CLS output) for converter parity tests."""
+
+    def __init__(self, img_size=224, patch_size=16, dim=384, depth=4, heads=6,
+                 mlp_ratio=4.0, init_values=None, reg_tokens=0, swiglu=False,
+                 swiglu_packed_names=False):
+        super().__init__()
+        self.reg_tokens = reg_tokens
+        grid = img_size // patch_size
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch_size, patch_size)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        if reg_tokens:
+            self.reg_token = nn.Parameter(torch.randn(1, reg_tokens, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, grid * grid + 1, dim) * 0.02)
+        self.blocks = nn.ModuleList([
+            _TorchViTBlock(dim, heads, mlp_ratio, init_values, swiglu,
+                           swiglu_packed_names)
+            for _ in range(depth)
+        ])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = x + self.pos_embed[:, 1:]
+        cls = (self.cls_token + self.pos_embed[:, :1]).expand(b, -1, -1)
+        toks = [cls]
+        if self.reg_tokens:
+            toks.append(self.reg_token.expand(b, -1, -1))
+        x = torch.cat([*toks, x], dim=1)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)[:, 0]

@@ -30,7 +30,8 @@ class _Mlp(nn.Module):
             a, b = jnp.split(gates, 2, axis=-1)
             h = nn.silu(a) * b
         else:
-            h = nn.gelu(nn.Dense(self.hidden, name="fc1")(x))
+            # exact (erf) gelu — timm/torch default, not the tanh approximation
+            h = nn.gelu(nn.Dense(self.hidden, name="fc1")(x), approximate=False)
         return nn.Dense(self.out, name="fc2")(h)
 
 

@@ -124,9 +124,96 @@ def load_flax_npz(path: str | Path) -> dict:
     return tree
 
 
+def torch_vit_to_flax(state_dict: dict, num_heads: int | None = None) -> dict:
+    """Convert a timm-style ViT checkpoint (UNI/GigaPath/Virchow/... —
+    reference ``vanilla.py:42-110`` timm hub encoders) to the flax
+    ``VisionTransformer`` tree (``vit.py``).
+
+    Handles packed qkv, layer-scale (``ls1.gamma``), register tokens,
+    and both timm SwiGLU namings (``mlp.fc1/fc2`` and ``mlp.w12/w3``).
+    """
+    sd = {k.removeprefix("module."): np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {
+        "patch_embed": {
+            "kernel": np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+    }
+    for reg_key in ("reg_token", "register_tokens"):
+        if reg_key in sd:
+            params["reg_tokens"] = sd[reg_key]
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    )
+    for i in range(depth):
+        p = f"blocks.{i}."
+        dim = sd[p + "norm1.weight"].shape[0]
+        qkv_w = sd[p + "attn.qkv.weight"]  # [3D, D]
+        qkv_b = sd.get(p + "attn.qkv.bias", np.zeros(3 * dim, np.float32))
+        heads = num_heads if num_heads else _infer_vit_heads(sd, dim)
+        head_dim = dim // heads
+
+        def _split(w, b, j):
+            wj = w[j * dim : (j + 1) * dim]  # [D, D]
+            return {
+                "kernel": wj.T.reshape(dim, heads, head_dim),
+                "bias": b[j * dim : (j + 1) * dim].reshape(heads, head_dim),
+            }
+
+        block = {
+            "norm1": {"scale": sd[p + "norm1.weight"], "bias": sd[p + "norm1.bias"]},
+            "norm2": {"scale": sd[p + "norm2.weight"], "bias": sd[p + "norm2.bias"]},
+            "attn": {
+                "query": _split(qkv_w, qkv_b, 0),
+                "key": _split(qkv_w, qkv_b, 1),
+                "value": _split(qkv_w, qkv_b, 2),
+                "out": {
+                    "kernel": sd[p + "attn.proj.weight"].T.reshape(
+                        heads, head_dim, dim
+                    ),
+                    "bias": sd[p + "attn.proj.bias"],
+                },
+            },
+        }
+        fc1_key = p + ("mlp.fc1.weight" if p + "mlp.fc1.weight" in sd else "mlp.w12.weight")
+        fc2_key = p + ("mlp.fc2.weight" if p + "mlp.fc2.weight" in sd else "mlp.w3.weight")
+        block["mlp"] = {
+            "fc1": {
+                "kernel": _dense_kernel(sd[fc1_key]),
+                "bias": sd[fc1_key.removesuffix("weight") + "bias"],
+            },
+            "fc2": {
+                "kernel": _dense_kernel(sd[fc2_key]),
+                "bias": sd[fc2_key.removesuffix("weight") + "bias"],
+            },
+        }
+        for ls, timm_ls in (("ls1", "ls1.gamma"), ("ls2", "ls2.gamma")):
+            if p + timm_ls in sd:
+                block[ls] = sd[p + timm_ls]
+            elif p + ls.replace("ls", "gamma_") in sd:  # dinov2 naming
+                block[ls] = sd[p + ls.replace("ls", "gamma_")]
+        params[f"block{i}"] = block
+    return {"params": params}
+
+
+def _infer_vit_heads(sd: dict, dim: int) -> int:
+    """Head count by published dim convention (64-dim heads)."""
+    return max(1, dim // 64)
+
+
 def convert_for_model(model, state_dict: dict) -> dict:
     """Pick the torch→flax converter matching the model architecture."""
     cls_name = type(model).__name__
+    module_name = type(getattr(model, "module", None)).__name__
+    if module_name == "VisionTransformer" or (
+        "patch_embed.proj.weight" in state_dict
+        and "blocks.0.attn.qkv.weight" in state_dict
+    ):
+        heads = getattr(getattr(model, "module", None), "num_heads", None)
+        return torch_vit_to_flax(state_dict, num_heads=heads)
     if cls_name in ("HoVerNet", "HoVerNetPlus"):
         return torch_hovernet_to_flax(state_dict)
     if cls_name == "SCCNN":
