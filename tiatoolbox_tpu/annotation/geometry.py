@@ -306,6 +306,11 @@ class _Multi(Geometry):
         return (bs[:, 0].min(), bs[:, 1].min(), bs[:, 2].max(), bs[:, 3].max())
 
     @property
+    def coords(self) -> np.ndarray:
+        """Member coordinate arrays stacked along axis 0."""
+        return np.concatenate([np.atleast_2d(g.coords) for g in self.geoms], axis=0)
+
+    @property
     def area(self) -> float:
         return sum(g.area for g in self.geoms)
 

@@ -147,6 +147,9 @@ class AnnotationStore(MutableMapping):
         properties_iter = (
             list(properties_iter) if properties_iter is not None else [None] * len(keys)
         )
+        if not len(keys) == len(geometries) == len(properties_iter):
+            msg = "keys, geometries, and properties_iter must match in length."
+            raise ValueError(msg)
         for key, geom, props in zip(keys, geometries, properties_iter):
             if key in self:
                 existing = self[key]
@@ -190,11 +193,14 @@ class AnnotationStore(MutableMapping):
         if callable(where):
             return bool(where(properties))
         if isinstance(where, str):
-            return bool(
-                eval(  # noqa: S307 - documented DSL behaviour
-                    where, dsl.PY_GLOBALS, {"props": properties}
+            try:
+                return bool(
+                    eval(  # noqa: S307 - documented DSL behaviour
+                        where, dsl.PY_GLOBALS, {"props": properties}
+                    )
                 )
-            )
+            except KeyError:  # annotations lacking the property don't match
+                return False
         msg = f"Invalid where predicate type: {type(where)}"
         raise TypeError(msg)
 
@@ -376,10 +382,12 @@ class AnnotationStore(MutableMapping):
         anns = []
         for feature in features:
             geom = geojson_to_geometry(feature["geometry"])
+            # reference semantics (storage.py add_from_geojson): translate
+            # to the origin, then scale about (0, 0) — no translate back
             geom = _transform_geometry(
                 geom,
-                lambda c: (np.asarray(c) - np.asarray(origin)) * np.asarray(scale_factor)
-                + np.asarray(origin),
+                lambda c: (np.asarray(c) - np.asarray(origin))
+                * np.asarray(scale_factor),
             )
             anns.append(Annotation(geom, feature.get("properties") or {}))
         self.append_many(anns)
@@ -726,6 +734,9 @@ class SQLiteStore(AnnotationStore):
         if keys is None:
             keys = [str(uuid.uuid4()) for _ in annotations]
         keys = list(keys)
+        if len(keys) != len(annotations):
+            msg = "Number of keys must match number of annotations."
+            raise ValueError(msg)
         con = self.con
         with con:
             for key, ann in zip(keys, annotations):
@@ -882,8 +893,18 @@ class SQLiteStore(AnnotationStore):
         ]
 
     def drop_index(self, name: str) -> None:
-        """Drop an index created with ``create_index``."""
-        self.con.execute(f"DROP INDEX IF EXISTS {name}")
+        """Drop an index created with ``create_index``.
+
+        Raises KeyError when no such index exists (reference behavior).
+        """
+        exists = self.con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type = 'index' AND name = ?",
+            (name,),
+        ).fetchone()
+        if exists is None:
+            msg = f"No such index: {name}"
+            raise KeyError(msg)
+        self.con.execute(f"DROP INDEX {name}")
         self.con.commit()
 
     def add_area_column(self, *, mk_index: bool = True) -> None:
