@@ -50,25 +50,38 @@ PATCH_BYTES_RGB = 224 * 224 * 3
 PATCH_BYTES_YUV = PATCH_BYTES_RGB // 2
 
 
-def measure_link_mb_per_sec(n_bufs: int = 24, streams: int = 2) -> float:
-    """Sustained host→device bandwidth with distinct 19 MB buffers."""
+def measure_link_mb_per_sec(n_bufs: int = 40, streams: int = 2) -> dict:
+    """Host→device bandwidth with distinct 19 MB buffers.
+
+    The tunneled relay absorbs a ~400 MB burst at local-socket speed
+    before throttling to its true drain rate, and dedupes repeated
+    buffers — so this uses DISTINCT buffers, pushes well past the burst
+    window, and reports both the overall (burst-inflated) rate and the
+    sustained rate over the final quarter of the puts. Run AFTER any
+    throughput measurement: a full relay buffer poisons what follows.
+    """
     import jax
     from concurrent.futures import ThreadPoolExecutor
 
-    bufs = [
-        np.random.randint(0, 255, (128, 224, 224, 3), np.uint8)
-        for _ in range(n_bufs)
-    ]
-    jax.device_put(np.zeros((128, 224, 224, 3), np.uint8)).block_until_ready()
-    mb = n_bufs * bufs[0].nbytes / 1e6
+    base = np.random.randint(0, 255, (128, 224, 224, 3), np.uint8)
+    bufs = [base + np.uint8(i + 1) for i in range(n_bufs)]
+    jax.device_put(np.zeros_like(base)).block_until_ready()
+    buf_mb = base.nbytes / 1e6
 
     def put(b):
         jax.device_put(b).block_until_ready()
+        return time.perf_counter()
 
     with ThreadPoolExecutor(streams) as pool:
         t0 = time.perf_counter()
-        list(pool.map(put, bufs))
-        return mb / (time.perf_counter() - t0)
+        done = list(pool.map(put, bufs))
+    total = done[-1] - t0
+    tail_n = n_bufs // 4
+    tail_secs = done[-1] - done[-tail_n - 1]
+    return {
+        "burst_mb_per_sec": n_bufs * buf_mb / total,
+        "sustained_mb_per_sec": tail_n * buf_mb / max(tail_secs, 1e-9),
+    }
 
 
 def bench_patch_predictor() -> dict:
@@ -116,9 +129,10 @@ def bench_patch_predictor() -> dict:
         result = next(iter(out.values()))
         return elapsed, len(result["predictions"]), result
 
-    link_before = measure_link_mb_per_sec()
     # Two timed runs per wire format; the tunnel's drain rate wanders,
     # so keep the best (peak capability) and report the link alongside.
+    # The link probe runs LAST — it fills the relay's burst buffer and
+    # would throttle any run that follows it.
     runs = {"rgb": [], "yuv420": []}
     results = {}
     for _ in range(2):
@@ -126,8 +140,6 @@ def bench_patch_predictor() -> dict:
             elapsed, n_patches, result = run_once(wire)
             runs[wire].append(n_patches / elapsed)
             results[wire] = result
-    link_after = measure_link_mb_per_sec()
-    link = float(np.median([link_before, link_after]))
 
     delta = float(
         np.abs(
@@ -163,14 +175,16 @@ def bench_patch_predictor() -> dict:
     np.asarray(chain(x))
     device_pps = batch_size * n_iter / (time.perf_counter() - t0)
 
+    link = measure_link_mb_per_sec()  # last: poisons whatever follows
     pps = max(runs["yuv420"])
-    ceiling = link * 1e6 / PATCH_BYTES_YUV
+    ceiling = link["sustained_mb_per_sec"] * 1e6 / PATCH_BYTES_YUV
     return {
         "pps": pps,
         "rgb_pps": max(runs["rgb"]),
         "all_runs_pps": {k: [round(v, 1) for v in vs] for k, vs in runs.items()},
         "n_patches": 1036,
-        "link_mb_per_sec": link,
+        "link_mb_per_sec": link["sustained_mb_per_sec"],
+        "link_burst_mb_per_sec": link["burst_mb_per_sec"],
         "link_ceiling_pps": ceiling,
         "link_efficiency": pps / ceiling,
         "device_only_pps": device_pps,
@@ -310,7 +324,7 @@ def bench_semantic_segmentor() -> dict:
     from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
 
     slide_path = f"/tmp/bench_seg_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(4096, 3072), mpp=0.5, objective_power=20)
+    make_synthetic_slide(slide_path, size=(2048, 1536), mpp=0.5, objective_power=20)
     model = UNetModel(
         num_input_channels=3,
         num_output_channels=2,
@@ -358,7 +372,7 @@ def bench_multitask_segmentor() -> dict:
     from tiatoolbox_tpu.models.engine.multi_task_segmentor import MultiTaskSegmentor
 
     slide_path = f"/tmp/bench_mts_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(2048, 1536), mpp=0.25, objective_power=40)
+    make_synthetic_slide(slide_path, size=(1024, 768), mpp=0.25, objective_power=40)
     model, ioconfig = get_pretrained_model("hovernet_fast-pannuke")
     model.optimize_for_inference()
     seg = MultiTaskSegmentor(model, batch_size=16, num_loader_workers=0)
@@ -380,7 +394,7 @@ def bench_multitask_segmentor() -> dict:
     elapsed = time.perf_counter() - t0
     result = next(iter(out.values()))
     n_inst = len(result.get("instances", result))
-    mpix = 2048 * 1536 / 1e6
+    mpix = 1024 * 768 / 1e6
     return {
         "mpix_per_sec": mpix / elapsed,
         "instances": n_inst,
@@ -415,6 +429,7 @@ def main() -> None:
         "e2e_rgb_pps": round(pp["rgb_pps"], 1),
         "e2e_runs_pps": pp["all_runs_pps"],
         "link_mb_per_sec": round(pp["link_mb_per_sec"], 1),
+        "link_burst_mb_per_sec": round(pp["link_burst_mb_per_sec"], 1),
         "e2e_link_ceiling_pps": round(pp["link_ceiling_pps"], 1),
         "e2e_link_efficiency": round(pp["link_efficiency"], 3),
         "wire_format": "yuv420 (1.5 B/px)",

@@ -69,10 +69,12 @@ class SQLExpr:
         return _Bin(other, "*", self)
 
     def __truediv__(self, other):
-        return _Bin(self, "/", other)
+        # sqlite `/` truncates on int operands; force real division to
+        # match python semantics
+        return _Bin(_Bin(self, "*", 1.0), "/", other)
 
     def __rtruediv__(self, other):
-        return _Bin(other, "/", self)
+        return _Bin(_Bin(other, "*", 1.0), "/", self)
 
     def __floordiv__(self, other):
         return _Func("FLOOR", _Bin(self, "/", other))
@@ -220,11 +222,22 @@ def _sql_list_sum(x):
     return _Func("LISTSUM", x)
 
 
+class _Raw(SQLExpr):
+    def __init__(self, sql: str) -> None:
+        self.sql = sql
+
+    def _sql(self) -> str:
+        return self.sql
+
+
 def _sql_has_key(dictionary, key):
     if not isinstance(dictionary, SQLJSONDictionary):
         msg = "Unsupported type for has_key."
         raise TypeError(msg)
-    return _Postfix(dictionary[key], "IS NOT NULL")
+    # json_type is NULL only when the path is absent; json_extract is
+    # also NULL for keys holding a JSON null, which has_key must count
+    child = dictionary[key]
+    return _Postfix(_Raw(f"json_type(properties, '$.{child.acc}')"), "IS NOT NULL")
 
 
 def _sql_contains(container, item):

@@ -627,9 +627,12 @@ class SQLiteStore(AnnotationStore):
 
     @staticmethod
     def _register_functions(con: sqlite3.Connection) -> None:
-        con.create_function("REGEXP", 2, lambda p, s: dsl.py_regexp(p, str(s)) is not None)
+        # returns the matched substring or NULL — same contract as the
+        # python-mode regexp helper, so is_none/is_not_none and truthiness
+        # agree between backends (reference registers the match this way)
+        con.create_function("REGEXP", 2, lambda p, s: dsl.py_regexp(p, str(s)))
         con.create_function(
-            "REGEXP", 3, lambda p, s, f: dsl.py_regexp(p, str(s), int(f)) is not None
+            "REGEXP", 3, lambda p, s, f: dsl.py_regexp(p, str(s), int(f))
         )
         con.create_function("LISTSUM", 1, dsl.json_list_sum)
         con.create_function("CONTAINS", 2, dsl.json_contains)
@@ -774,7 +777,15 @@ class SQLiteStore(AnnotationStore):
             fragment = eval(  # noqa: S307
                 where, dict(dsl.SQL_GLOBALS), {}
             )
-            return f"AND {fragment}", False
+            # python-truthiness at the boundary: expressions may return
+            # NULL (no regex match / missing key), 0, or a string — only
+            # NULL, 0, and '' are falsy (strings never compare equal to
+            # numbers in sqlite, so "x != 0" is true for any string)
+            sql = f"({fragment})"
+            clause = (
+                f"AND ({sql} IS NOT NULL AND {sql} != 0 AND {sql} != '')"
+            )
+            return clause, False
         except Exception:  # fall back to python filtering
             logger.warning("Could not compile where to SQL; filtering in Python.")
             return "", True
