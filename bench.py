@@ -123,11 +123,23 @@ def bench_patch_predictor() -> dict:
             auto_get_mask=False,
             verbose=False,
             transfer_threads=2,
-            max_inflight_batches=4,
+            max_inflight_batches=8,
         )
         elapsed = time.perf_counter() - t0
         result = next(iter(out.values()))
         return elapsed, len(result["predictions"]), result
+
+    # Absorb first-run effects (engine-path compiles, relay warm-up) on
+    # a small slide so the timed runs measure steady state.
+    warm_slide = f"/tmp/bench_warm_{os.getpid()}.tiff"
+    make_synthetic_slide(warm_slide, size=(1024, 768), mpp=0.5, objective_power=20)
+    for wire in ("rgb", "yuv420"):
+        model.wire_format = wire
+        predictor.run(
+            [warm_slide], patch_mode=False, ioconfig=ioconfig,
+            output_type="dict", auto_get_mask=False, verbose=False,
+            transfer_threads=2, max_inflight_batches=8,
+        )
 
     # Two timed runs per wire format; the tunnel's drain rate wanders,
     # so keep the best (peak capability) and report the link alongside.
@@ -403,18 +415,34 @@ def bench_multitask_segmentor() -> dict:
 
 
 def main() -> None:
+    # Wall-clock budget: the headline (config 3) always runs; later
+    # sections are skipped gracefully if the tunnel has been slow —
+    # compile times over a remote-attached chip dominate them.
+    budget_s = float(os.environ.get("BENCH_BUDGET_SECONDS", "1500"))
+    t_start = time.time()
+
+    def remaining() -> float:
+        return budget_s - (time.time() - t_start)
+
     pp = bench_patch_predictor()
     try:
         ref = bench_torch_reference(pp["slide_path"])
     except Exception:  # keep the headline robust
         ref = {"torch_cpu_forward_pps": None, "torch_cpu_e2e_pps": None}
-    sn = bench_stainnorm()
     try:
-        seg = bench_semantic_segmentor()
+        sn = bench_stainnorm() if remaining() > 120 else {"mpix_per_sec": None, "kernel_mpix_per_sec": None}
+    except Exception:
+        sn = {"mpix_per_sec": None, "kernel_mpix_per_sec": None}
+    try:
+        seg = bench_semantic_segmentor() if remaining() > 300 else {"mpix_per_sec": None}
     except Exception:
         seg = {"mpix_per_sec": None}
     try:
-        mts = bench_multitask_segmentor()
+        mts = (
+            bench_multitask_segmentor()
+            if remaining() > 450
+            else {"mpix_per_sec": None, "instances_per_sec": None}
+        )
     except Exception:
         mts = {"mpix_per_sec": None, "instances_per_sec": None}
 
@@ -436,8 +464,8 @@ def main() -> None:
         "wire_prob_delta_max": round(pp["wire_prob_delta_max"], 5),
         "device_only_patches_per_sec": round(pp["device_only_pps"], 1),
         "mfu": round(pp["mfu"], 3),
-        "stainnorm_mpix_per_sec": round(sn["mpix_per_sec"], 2),
-        "stainnorm_kernel_mpix_per_sec": round(sn["kernel_mpix_per_sec"], 2),
+        "stainnorm_mpix_per_sec": _r(sn["mpix_per_sec"]),
+        "stainnorm_kernel_mpix_per_sec": _r(sn["kernel_mpix_per_sec"]),
         "semantic_seg_e2e_mpix_per_sec": _r(seg["mpix_per_sec"]),
         "hovernet_e2e_mpix_per_sec": _r(mts["mpix_per_sec"]),
         "hovernet_instances_per_sec": _r(mts["instances_per_sec"]),
