@@ -1137,10 +1137,47 @@ class JP2WSIReader(WSIReader):
             raw={},
         )
 
+    @property
+    def _codestream(self):
+        """Parsed J2K codestream (cached); None when not extractable.
+
+        Multi-tile codestreams get true windowed reads — tiles decode
+        independently, so a window decodes only its tiles at any
+        reduced scale (glymur-equivalent capability, reference
+        ``wsireader.py:2516-3120``).
+        """
+        if not hasattr(self, "_codestream_cache"):
+            from tiatoolbox_tpu.wsicore.jp2 import J2KCodestream
+
+            cs = None
+            try:
+                parsed = J2KCodestream.from_bytes(self.input_path.read_bytes())
+                if len(parsed.tiles) > 1 and not parsed.has_ppm:
+                    align = 1 << parsed.decomposition_levels
+                    if parsed.xtsiz % align == 0 and parsed.ytsiz % align == 0:
+                        cs = parsed
+            except (ValueError, KeyError, OSError):
+                cs = None
+            self._codestream_cache = cs
+        return self._codestream_cache
+
     def _read_level_within(self, location, size, level: int) -> np.ndarray:
         ds = self.info.level_downsamples[level]
         # decode at the coarsest reduced scale that still covers ds
         scale = next(s for s in self._SCALES if s <= ds or s == 1)
+        cs = self._codestream
+        if cs is not None:
+            # windowed tile-level decode: no full-image materialisation
+            x0 = int(location[0] * ds)
+            y0 = int(location[1] * ds)
+            w0 = max(int(size[0] * ds), 1)
+            h0 = max(int(size[1] * ds), 1)
+            region = cs.read_region((x0, y0), (w0, h0), reduce=scale)
+            if region.shape[:2] != (int(size[1]), int(size[0])):
+                region = imresize(region, output_size=(int(size[0]), int(size[1])))
+            if region.ndim == 2:
+                region = region[:, :, None]
+            return region
         plane = self._decode_plane(scale)
         rel = ds / scale
         x0 = int(location[0] * ds / scale)
