@@ -35,6 +35,7 @@ def write_synthetic_mrxs(
     mpp: float = 0.5,
     *,
     missing_tiles: tuple = (),
+    overlap: int = 0,
 ) -> Path:
     """Write <path>.mrxs + data dir; returns the .mrxs path."""
     path = Path(path)
@@ -108,8 +109,8 @@ def write_synthetic_mrxs(
             f"[LAYER_0_LEVEL_{lvl}_SECTION]",
             f"DIGITIZER_WIDTH = {tile}",
             f"DIGITIZER_HEIGHT = {tile}",
-            "OVERLAP_X = 0",
-            "OVERLAP_Y = 0",
+            f"OVERLAP_X = {overlap}",
+            f"OVERLAP_Y = {overlap}",
             f"MICROMETER_PER_PIXEL_X = {mpp * 2**lvl}",
             f"MICROMETER_PER_PIXEL_Y = {mpp * 2**lvl}",
             "IMAGE_FORMAT = JPEG",
