@@ -1,0 +1,136 @@
+"""Viewer feature surface: predicate filter, colormaps, stats pane API.
+
+Covers the reference bokeh-app workflow (overlay a store, filter by a
+property predicate, recolor, inspect stats —
+``/root/reference/tiatoolbox/visualization/bokeh_app/main.py:553,808``)
+through the WSGI TileServer's session API + the JS viewer page.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tiatoolbox_tpu.annotation.geometry import Point, Polygon
+from tiatoolbox_tpu.annotation.storage import Annotation, SQLiteStore
+from tiatoolbox_tpu.data.synth import make_synthetic_slide
+from tiatoolbox_tpu.visualization.tileserver import TileServer
+from tiatoolbox_tpu.visualization.viewer import render_viewer_html
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("viewer")
+    slide = tmp / "s.tiff"
+    make_synthetic_slide(slide, size=(512, 384), mpp=0.5, objective_power=20)
+    store = SQLiteStore()
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        x, y = rng.uniform(50, 450), rng.uniform(50, 330)
+        store.append(
+            Annotation(
+                Point(x, y).buffer(8),
+                {"type": "cell" if i % 3 else "vessel", "prob": float(i) / 30},
+            )
+        )
+    server = TileServer(layers={"slide": str(slide)})
+    server.add_layer("overlay", store)
+    httpd, port = server.run_in_thread()
+    yield port
+    httpd.shutdown()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as resp:
+        return json.loads(resp.read())
+
+
+def _put(port, path, **params):
+    data = urllib.parse.urlencode(params).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method="PUT"
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+class TestStatsRoute:
+    def test_numeric_stats_with_histogram(self, served) -> None:
+        out = _get(served, "/tileserver/prop_stats/prob")
+        stats = out["stats"]
+        assert stats["kind"] == "numeric"
+        assert stats["count"] == 30
+        assert stats["min"] == pytest.approx(0.0)
+        assert sum(stats["hist"]) == 30
+        assert len(stats["edges"]) == len(stats["hist"]) + 1
+
+    def test_categorical_stats(self, served) -> None:
+        stats = _get(served, "/tileserver/prop_stats/type")["stats"]
+        assert stats["kind"] == "categorical"
+        assert set(stats["value_counts"]) == {"cell", "vessel"}
+        assert sum(stats["value_counts"].values()) == 30
+
+    def test_missing_prop(self, served) -> None:
+        assert _get(served, "/tileserver/prop_stats/nope")["stats"] is None
+
+
+class TestPredicateFilter:
+    def test_where_filters_rendered_annotations(self, served) -> None:
+        # unfiltered tile at max zoom over the full extent
+        def overlay_tile():
+            url = (
+                f"http://127.0.0.1:{served}/tileserver/layer/overlay/default/"
+                "zoomify/TileGroup0/1-0-0.jpg"
+            )
+            with urllib.request.urlopen(url) as resp:
+                return resp.read()
+
+        before = overlay_tile()
+        _put(served, "/tileserver/renderer/where",
+             val='props["type"] == "vessel"')
+        filtered = overlay_tile()
+        _put(served, "/tileserver/renderer/where", val="null")
+        after = overlay_tile()
+        assert filtered != before  # fewer annotations rendered
+        assert after == before  # filter cleared
+
+    def test_where_roundtrip_via_get(self, served) -> None:
+        _put(served, "/tileserver/renderer/where", val='props["prob"] > 0.5')
+        got = _get(served, "/tileserver/renderer/where")
+        assert got["where"] == 'props["prob"] > 0.5'
+        _put(served, "/tileserver/renderer/where", val="null")
+
+
+class TestColormap:
+    def test_continuous_cmap_and_range(self, served) -> None:
+        _put(served, "/tileserver/color_prop", prop="prob")
+        out = _put(served, "/tileserver/prop_range", prop="prob")
+        assert out["range"] == pytest.approx([0.0, 29 / 30])
+        out = _put(served, "/tileserver/cmap", cmap="viridis")
+        assert out["cmap"] == "viridis"
+        # categorical mapping via JSON dict
+        out = _put(
+            served, "/tileserver/cmap",
+            cmap=json.dumps({"cell": [255, 0, 0, 255], "vessel": [0, 0, 255, 255]}),
+        )
+        _put(served, "/tileserver/color_prop", prop="")
+
+
+class TestViewerPage:
+    def test_page_served_with_new_controls(self, served) -> None:
+        with urllib.request.urlopen(f"http://127.0.0.1:{served}/viewer") as resp:
+            html = resp.read().decode()
+        for element_id in (
+            "filterpanel", "filterrows", "applyfilter", "clearfilter",
+            "statspanel", "statprop", "histcanvas", "cmap",
+        ):
+            assert f'id="{element_id}"' in html
+
+    def test_render_helper_formats(self) -> None:
+        html = render_viewer_html("t")
+        assert "buildPredicate" in html
+        assert "prop_stats" in html

@@ -199,6 +199,7 @@ class TileServer:
             "prop_names": self._ctl_prop_names,
             "prop_values": self._ctl_prop_values,
             "prop_range": self._ctl_prop_range,
+            "prop_stats": self._ctl_prop_stats,
             "commit": self._ctl_commit,
             "channels": self._ctl_channels,
             "enhance": self._ctl_enhance,
@@ -383,6 +384,46 @@ class TileServer:
         if method != "GET":  # PUT also primes the continuous colormap
             state["renderer"].score_range = (lo, hi)
         return {"range": [lo, hi]}
+
+    def _ctl_prop_stats(self, method, state, extra, params):  # noqa: ARG002
+        """Summary stats + histogram for a property (viewer stats pane).
+
+        Numeric: count/min/max/mean + ``bins``-bucket histogram.
+        Categorical: value counts. Reference analog: the bokeh app's
+        property histograms (``bokeh_app/main.py``).
+        """
+        overlay = state["layers"].get("overlay")
+        prop = extra[0] if extra else params.get("prop")
+        if overlay is None or not prop:
+            return {"stats": None}
+        values = [
+            ann.properties[prop]
+            for ann in overlay.values()
+            if prop in ann.properties
+        ]
+        if not values:
+            return {"stats": None}
+        numeric = [v for v in values if isinstance(v, (int, float))]
+        if len(numeric) == len(values):
+            arr = np.asarray(numeric, float)
+            bins = int(params.get("bins", 20))
+            hist, edges = np.histogram(arr, bins=bins)
+            return {
+                "stats": {
+                    "kind": "numeric",
+                    "count": int(arr.size),
+                    "min": float(arr.min()),
+                    "max": float(arr.max()),
+                    "mean": float(arr.mean()),
+                    "hist": hist.tolist(),
+                    "edges": edges.tolist(),
+                }
+            }
+        counts: dict = {}
+        for v in values:
+            counts[str(v)] = counts.get(str(v), 0) + 1
+        return {"stats": {"kind": "categorical", "count": len(values),
+                          "value_counts": counts}}
 
     def _ctl_commit(self, method, state, extra, params):  # noqa: ARG002
         from tiatoolbox_tpu.annotation.storage import SQLiteStore

@@ -42,7 +42,26 @@ VIEWER_HTML = """<!DOCTYPE html>
   <button id="split">split view</button>
   <label>colour by <select id="colorprop"><option value="">type</option>
   </select></label>
+  <label>cmap <select id="cmap">
+    <option>viridis</option><option>jet</option><option>coolwarm</option>
+    <option>plasma</option><option>inferno</option>
+  </select></label>
+  <button id="filterbtn">filter</button>
+  <button id="statsbtn">stats</button>
   <span id="pos"></span>
+</div>
+<div id="filterpanel" style="display:none; padding:8px; background:#2a2a2a;">
+  <div id="filterrows"></div>
+  <button id="addrow">+ condition</button>
+  <button id="applyfilter">apply</button>
+  <button id="clearfilter">clear</button>
+  <code id="filterpreview" style="margin-left:12px; color:#9c9;"></code>
+</div>
+<div id="statspanel" style="display:none; padding:8px; background:#2a2a2a;">
+  <label>property <select id="statprop"></select></label>
+  <span id="statsummary"></span>
+  <canvas id="histcanvas" width="420" height="90"
+          style="position:static; background:#1a1a1a; margin-left:10px;"></canvas>
 </div>
 <div id="view"><canvas id="canvas"></canvas><div id="info"></div></div>
 <script>
@@ -219,11 +238,15 @@ document.getElementById('ovload').onclick = async () => {{
   if (!path) return;
   await ctl('/tileserver/overlay', 'PUT', {{overlay_path: path}});
   const props = await ctl('/tileserver/prop_names/all', 'GET');
+  propNames = props ? props.prop_names : [];
   const sel = document.getElementById('colorprop');
   sel.innerHTML = '<option value="">type</option>';
-  for (const p of (props ? props.prop_names : [])) {{
+  const statSel = document.getElementById('statprop');
+  statSel.innerHTML = '';
+  for (const p of propNames) {{
     const o = document.createElement('option');
     o.value = p; o.textContent = p; sel.appendChild(o);
+    statSel.appendChild(o.cloneNode(true));
   }}
   await refreshLayers();
 }};
@@ -233,6 +256,118 @@ document.getElementById('colorprop').onchange = async e => {{
   tileCache.clear();
   draw();
 }};
+
+// ---- predicate filter builder -------------------------------------------
+let propNames = [];
+
+function addFilterRow() {{
+  const row = document.createElement('div');
+  row.className = 'frow';
+  const propSel = document.createElement('select');
+  for (const p of propNames) {{
+    const o = document.createElement('option');
+    o.value = p; o.textContent = p; propSel.appendChild(o);
+  }}
+  const opSel = document.createElement('select');
+  for (const op of ['==', '!=', '>', '>=', '<', '<=', 'contains']) {{
+    const o = document.createElement('option');
+    o.value = op; o.textContent = op; opSel.appendChild(o);
+  }}
+  const val = document.createElement('input');
+  val.size = 10; val.placeholder = 'value';
+  const del = document.createElement('button');
+  del.textContent = 'x';
+  del.onclick = () => {{ row.remove(); previewFilter(); }};
+  row.append(propSel, opSel, val, del);
+  [propSel, opSel, val].forEach(el => el.onchange = previewFilter);
+  document.getElementById('filterrows').appendChild(row);
+}}
+
+function buildPredicate() {{
+  const terms = [];
+  for (const row of document.querySelectorAll('#filterrows .frow')) {{
+    const [propSel, opSel, val] = row.querySelectorAll('select, input');
+    if (!val.value) continue;
+    const raw = val.value;
+    const lit = isNaN(Number(raw)) ? JSON.stringify(raw) : raw;
+    const prop = `props[${{JSON.stringify(propSel.value)}}]`;
+    terms.push(opSel.value === 'contains'
+      ? `contains(${{prop}}, ${{lit}})`
+      : `(${{prop}} ${{opSel.value}} ${{lit}})`);
+  }}
+  return terms.join(' & ');
+}}
+
+function previewFilter() {{
+  document.getElementById('filterpreview').textContent = buildPredicate();
+}}
+
+document.getElementById('filterbtn').onclick = () => {{
+  const panel = document.getElementById('filterpanel');
+  panel.style.display = panel.style.display === 'none' ? 'block' : 'none';
+}};
+document.getElementById('addrow').onclick = addFilterRow;
+document.getElementById('applyfilter').onclick = async () => {{
+  const pred = buildPredicate();
+  await ctl('/tileserver/renderer/where', 'PUT', {{val: pred || 'null'}});
+  tileCache.clear(); draw();
+}};
+document.getElementById('clearfilter').onclick = async () => {{
+  document.getElementById('filterrows').innerHTML = '';
+  previewFilter();
+  await ctl('/tileserver/renderer/where', 'PUT', {{val: 'null'}});
+  tileCache.clear(); draw();
+}};
+
+// ---- colormap + stats ----------------------------------------------------
+document.getElementById('cmap').onchange = async e => {{
+  await ctl('/tileserver/cmap', 'PUT', {{cmap: e.target.value}});
+  tileCache.clear(); draw();
+}};
+
+async function showStats() {{
+  const prop = document.getElementById('statprop').value;
+  if (!prop) return;
+  const data = await ctl(`/tileserver/prop_stats/${{prop}}`, 'GET');
+  const stats = data && data.stats;
+  const hc = document.getElementById('histcanvas');
+  const hctx = hc.getContext('2d');
+  hctx.clearRect(0, 0, hc.width, hc.height);
+  if (!stats) {{ document.getElementById('statsummary').textContent = 'n/a'; return; }}
+  if (stats.kind === 'numeric') {{
+    document.getElementById('statsummary').textContent =
+      `n=${{stats.count}} min=${{stats.min.toFixed(3)}} ` +
+      `mean=${{stats.mean.toFixed(3)}} max=${{stats.max.toFixed(3)}}`;
+    const peak = Math.max(...stats.hist, 1);
+    const bw = hc.width / stats.hist.length;
+    hctx.fillStyle = '#6c6';
+    stats.hist.forEach((v, i) => {{
+      const bh = (v / peak) * (hc.height - 4);
+      hctx.fillRect(i * bw + 1, hc.height - bh, bw - 2, bh);
+    }});
+  }} else {{
+    const entries = Object.entries(stats.value_counts);
+    document.getElementById('statsummary').textContent =
+      `n=${{stats.count}}, ${{entries.length}} distinct`;
+    const peak = Math.max(...entries.map(e => e[1]), 1);
+    const bw = hc.width / entries.length;
+    hctx.fillStyle = '#69c';
+    entries.forEach(([k, v], i) => {{
+      const bh = (v / peak) * (hc.height - 14);
+      hctx.fillRect(i * bw + 1, hc.height - bh - 12, bw - 2, bh);
+      hctx.fillStyle = '#ddd'; hctx.font = '9px sans-serif';
+      hctx.fillText(k.slice(0, 8), i * bw + 2, hc.height - 2);
+      hctx.fillStyle = '#69c';
+    }});
+  }}
+}}
+
+document.getElementById('statsbtn').onclick = () => {{
+  const panel = document.getElementById('statspanel');
+  panel.style.display = panel.style.display === 'none' ? 'block' : 'none';
+  if (panel.style.display === 'block') showStats();
+}};
+document.getElementById('statprop').onchange = showStats;
 
 document.getElementById('split').onclick = async () => {{
   const path = document.getElementById('slide2').value;
