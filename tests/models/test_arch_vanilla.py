@@ -76,3 +76,19 @@ def test_npz_roundtrip(tmp_path) -> None:
     model2.load_weights(loaded)
     out2 = CNNModel.infer_batch(model2, np.zeros((1, 32, 32, 3), np.uint8))
     assert np.allclose(out1, out2, atol=1e-6)
+
+
+def test_s2d_stem_matches_conv_stem() -> None:
+    """optimize_for_inference's space-to-depth stem is numerically
+    equivalent (same variables, kernel folded at trace time)."""
+    import numpy as np
+
+    from tiatoolbox_tpu.models.architecture.vanilla import _CNNClassifier
+
+    model = CNNModel("resnet18", num_classes=9)
+    model.init(input_shape=(1, 64, 64, 3))
+    x = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3), np.uint8)
+    ref = np.asarray(model.apply_u8(x))
+    s2d = _CNNClassifier(backbone="resnet18", num_classes=9, stem="s2d")
+    out = np.asarray(s2d.apply(model.variables, x.astype(np.float32) / 255.0))
+    assert np.abs(out - ref).max() < 1e-5

@@ -104,6 +104,48 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _S2DStem(nn.Module):
+    """Space-to-depth ResNet stem: 7x7/s2 conv on 3 channels rewritten
+    as a 4x4/s1 conv on 12 channels over 2x2 pixel blocks.
+
+    The 7x7 stride-2 RGB conv leaves 125 of the MXU's 128 input lanes
+    idle; folding a 2x2 space-to-depth into the input (and the
+    matching zero-pad + reshape into the kernel, done on the fly from
+    the SAME ``conv1/kernel`` parameter so checkpoints are untouched)
+    quadruples stem lane utilisation. Numerically identical modulo
+    fp reassociation. Requires even input H and W.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        n, h, w, c = x.shape
+        k7 = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, 64),
+        )
+        # pad to 8x8 (top/left zero row+col), regroup to 4x4x12
+        k8 = jnp.pad(k7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = (
+            k8.reshape(4, 2, 4, 2, 3, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 12, 64)
+        ).astype(x.dtype)
+        xs = (
+            x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+        return jax.lax.conv_general_dilated(
+            xs, k4,
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNet(nn.Module):
     """Generic torchvision-style ResNet feature extractor (NHWC).
 
@@ -111,23 +153,29 @@ class ResNet(nn.Module):
         layers: Blocks per stage, e.g. (2, 2, 2, 2) for resnet18.
         block: "basic" or "bottleneck".
         groups / width_per_group: ResNeXt / wide-ResNet knobs.
+        stem: "conv" (torchvision 7x7/s2) or "s2d" (space-to-depth
+            rewrite of the same weights; see ``_S2DStem``).
     """
 
     layers: Sequence[int] = (2, 2, 2, 2)
     block: str = "basic"
     groups: int = 1
     width_per_group: int = 64
+    stem: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            name="conv1",
-        )(x)
+        if self.stem == "s2d":
+            x = _S2DStem(name="conv1")(x)
+        else:
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                use_bias=False,
+                name="conv1",
+            )(x)
         x = _BN(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -37,13 +37,22 @@ _FEATURE_WIDTHS = dict(RESNET_FEATURES)
 _FEATURE_WIDTHS.update({name: width for name, (_, _, width) in EXTRA_BACKBONES.items()})
 
 
-def get_backbone(backbone: str, name: str = "backbone") -> tuple[nn.Module, int]:
+def get_backbone(
+    backbone: str, name: str = "backbone", stem: str = "conv"
+) -> tuple[nn.Module, int]:
     """Instantiate a named backbone module and its feature width."""
     if backbone not in backbone_dict:
         msg = f"Backbone {backbone!r} not supported."
         raise ValueError(msg)
     cls, cfg = backbone_dict[backbone]
+    if stem != "conv" and cls is ResNet:
+        cfg = {**cfg, "stem": stem}
     return cls(**cfg, name=name), _FEATURE_WIDTHS[backbone]
+
+
+def _has_s2d_stem(backbone: str) -> bool:
+    """ResNet-family backbones support the space-to-depth stem rewrite."""
+    return backbone_dict[backbone][0] is ResNet
 
 
 class _CNNClassifier(nn.Module):
@@ -51,10 +60,11 @@ class _CNNClassifier(nn.Module):
 
     backbone: str
     num_classes: int
+    stem: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        feat_extract, _ = get_backbone(self.backbone)
+        feat_extract, _ = get_backbone(self.backbone, stem=self.stem)
         feat = feat_extract(x)
         pooled = jnp.mean(feat, axis=(1, 2))
         logits = nn.Dense(self.num_classes, name="classifier")(pooled)
@@ -65,10 +75,11 @@ class _CNNFeatures(nn.Module):
     """Backbone → global average pool (feature embeddings)."""
 
     backbone: str
+    stem: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        feat_extract, _ = get_backbone(self.backbone)
+        feat_extract, _ = get_backbone(self.backbone, stem=self.stem)
         feat = feat_extract(x)
         return jnp.mean(feat, axis=(1, 2))
 
@@ -89,6 +100,21 @@ class CNNModel(ModelABC):
         super().__init__(module, **kwargs)
         self.backbone = backbone
         self.num_classes = num_classes
+
+    def optimize_for_inference(self) -> "CNNModel":
+        """bf16 weights + space-to-depth stem (ResNet family).
+
+        The stem swap changes the module, not the variables — the
+        rewritten kernel is folded from the stock ``conv1/kernel`` at
+        trace time, so converted checkpoints load unchanged.
+        """
+        super().optimize_for_inference()
+        if _has_s2d_stem(self.backbone) and self.module.stem != "s2d":
+            self.module = _CNNClassifier(
+                backbone=self.backbone, num_classes=self.num_classes, stem="s2d"
+            )
+            self._jitted = self._jitted_u8 = self._jitted_yuv = None
+        return self
 
     @staticmethod
     def postproc(image: np.ndarray) -> np.ndarray:
