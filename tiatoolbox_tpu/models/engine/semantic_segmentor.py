@@ -245,8 +245,13 @@ class SemanticSegmentor(EngineABC):
         dataset = dataloader.dataset
         outputs_arr = dataset.outputs
         canvas = DeviceCanvas((int(canvas_wh[1]), int(canvas_wh[0])), n_channels)
+        # staged feed: concurrent host→HBM copies overlap the scatters
+        batch_iter = dataloader.iter_staged(
+            self.model.stage_batch, int(getattr(self, "transfer_threads", 2))
+        )
         for batch in _progress(
-            dataloader, verbose=self.verbose, desc="infer-wsi"
+            batch_iter, verbose=self.verbose, desc="infer-wsi",
+            total=len(dataloader),
         ):
             probs = self.model.infer_batch_device(
                 self.model, batch["image"], self.device
