@@ -484,3 +484,32 @@ class TorchViT(nn.Module):
         for blk in self.blocks:
             x = blk(x)
         return self.norm(x)[:, 0]
+
+
+class TorchVGG16Features(nn.Module):
+    """torchvision vgg16.features graph returning pool3/4/5 outputs,
+    with ImageNet input normalization folded in (DFBR contract)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, in_ch = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(in_ch, v, 3, padding=1), nn.ReLU(inplace=True)]
+                in_ch = v
+        self.features = nn.Sequential(*layers)
+        self.register_buffer("mean", torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1))
+        self.register_buffer("std", torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1))
+
+    def forward(self, x: torch.Tensor) -> list:
+        x = (x - self.mean) / self.std
+        outs = []
+        for i, layer in enumerate(self.features):
+            x = layer(x)
+            if i in (16, 23, 30):
+                outs.append(x)
+        return outs

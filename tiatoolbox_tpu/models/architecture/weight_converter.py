@@ -204,10 +204,26 @@ def _infer_vit_heads(sd: dict, dim: int) -> int:
     return max(1, dim // 64)
 
 
+def torch_vgg_to_flax(state_dict: dict) -> dict:
+    """Convert torchvision vgg16 ``features.N`` weights to VGG16Features."""
+    from tiatoolbox_tpu.models.architecture.vgg import VGG16_CONV_IDS
+
+    sd = {k.removeprefix("module."): np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    for idx in VGG16_CONV_IDS:
+        params[f"conv{idx}"] = {
+            "kernel": _conv_kernel(sd[f"features.{idx}.weight"]),
+            "bias": sd[f"features.{idx}.bias"],
+        }
+    return {"params": params}
+
+
 def convert_for_model(model, state_dict: dict) -> dict:
     """Pick the torch→flax converter matching the model architecture."""
     cls_name = type(model).__name__
     module_name = type(getattr(model, "module", None)).__name__
+    if module_name == "VGG16Features" or "features.28.weight" in state_dict:
+        return torch_vgg_to_flax(state_dict)
     if module_name == "VisionTransformer" or (
         "patch_embed.proj.weight" in state_dict
         and "blocks.0.attn.qkv.weight" in state_dict

@@ -169,37 +169,69 @@ def prealignment(
     return np.eye(3), orig_moving_img, moving_mask, dice_before
 
 
+class DFBRFeatureExtractor:
+    """VGG16 block3/4/5-pool features (reference
+    ``wsi_registration.py:329-412``; torchvision layer ids 16/23/30).
+
+    ImageNet weights load through the torch→flax converter when a
+    checkpoint path is given (torchvision ``vgg16`` state_dict or a
+    converted .npz); offline falls back to random init with a warning.
+    """
+
+    def __init__(self, patch_size=(224, 224), weights=None) -> None:
+        from tiatoolbox_tpu.models.architecture.vgg import VGG16Features
+        from tiatoolbox_tpu.models.models_abc import ModelABC
+
+        self.patch_size = patch_size
+        self.model = ModelABC(VGG16Features())
+        if weights is not None:
+            self.model.load_weights_from_file(weights)
+        else:
+            from tiatoolbox_tpu import logger
+
+            logger.warning(
+                "DFBR: no VGG16 weights given; using random init "
+                "(pass a torchvision vgg16 checkpoint for reference parity)."
+            )
+            self.model.init(input_shape=(1, *patch_size, 3))
+
+    def __call__(self, img: np.ndarray) -> list[np.ndarray]:
+        import jax.numpy as jnp
+
+        x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+        feats = self.model.forward(x)
+        return [np.asarray(f[0]) for f in feats]
+
+
 class DFBRegister:
     """Deep-feature block registration (DFBR).
 
     Matches multi-stage CNN features between a fixed and moving image
     and estimates a robust affine transform. Feature extraction uses
-    the in-package flax ResNet encoder (reference uses VGG16 hooks,
-    ``wsi_registration.py:329-412``).
+    the reference's VGG16 block3/4/5-pool hooks (flax graph; see
+    ``DFBRFeatureExtractor``).
 
     Args:
         patch_size: Feature extraction input size.
+        weights: Optional torchvision vgg16 checkpoint (.pth/.npz) for
+            ImageNet features (reference behavior).
     """
 
-    def __init__(self, patch_size: tuple[int, int] = (224, 224)) -> None:
+    def __init__(
+        self, patch_size: tuple[int, int] = (224, 224), weights=None
+    ) -> None:
         self.patch_size = patch_size
-        self._model = None
+        self._weights = weights
+        self._extractor = None
 
     def _features(self, img: np.ndarray) -> list[np.ndarray]:
         """Multi-stage feature maps for an RGB image."""
-        import jax.numpy as jnp
-
-        from tiatoolbox_tpu.models.architecture.unet import ResNetEncoder
-        from tiatoolbox_tpu.models.models_abc import ModelABC
-
-        if self._model is None:
-            model = ModelABC(ResNetEncoder(layers=(3, 4, 6, 3)))
-            model.init(input_shape=(1, *self.patch_size, 3))
-            self._model = model
+        if self._extractor is None:
+            self._extractor = DFBRFeatureExtractor(
+                self.patch_size, weights=self._weights
+            )
         img_resized = cv2.resize(img.astype(np.uint8), self.patch_size[::-1])
-        x = jnp.asarray(img_resized[None]).astype(jnp.float32) / 255.0
-        feats = self._model.forward(x)
-        return [np.asarray(f[0]) for f in feats[1:4]]
+        return self._extractor(img_resized)
 
     @staticmethod
     def finding_match(feature_dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
