@@ -92,13 +92,27 @@ class SlideGraphConstructor:
 
     @staticmethod
     def _pca_reducer(graph: dict) -> np.ndarray:
-        """Reduce node features to 3D [0,1] values (UMAP replacement)."""
+        """Reduce node features to 3D [0,1] values (fast linear option)."""
         x = np.asarray(graph["x"], dtype=float)
         x = x - x.mean(axis=0)
         _, _, vt = np.linalg.svd(x, full_matrices=False)
         reduced = x @ vt[:3].T
         if reduced.shape[1] < 3:
             reduced = np.pad(reduced, ((0, 0), (0, 3 - reduced.shape[1])))
+        reduced -= reduced.min(axis=0)
+        ranges = reduced.max(axis=0)
+        ranges[ranges == 0] = 1
+        return reduced / ranges
+
+    @staticmethod
+    def _umap_reducer(graph: dict) -> np.ndarray:
+        """UMAP node features → 3D [0,1] colors (reference
+        ``tools/graph.py:214-230``; own UMAP — no umap-learn in env)."""
+        from tiatoolbox_tpu.tools.umap_lite import UMAP
+
+        reduced = UMAP(n_components=3, random_state=0).fit_transform(
+            np.asarray(graph["x"], dtype=float)
+        )
         reduced -= reduced.min(axis=0)
         ranges = reduced.max(axis=0)
         ranges[ranges == 0] = 1
@@ -186,7 +200,11 @@ class SlideGraphConstructor:
         coords = graph["coordinates"]
         edge_index = graph["edge_index"]
         if color is None:
-            node_colors = cls._pca_reducer(graph)
+            # reference default: UMAP feature reduction; PCA for speed
+            try:
+                node_colors = cls._umap_reducer(graph)
+            except Exception:  # scipy solver hiccup: linear fallback
+                node_colors = cls._pca_reducer(graph)
         elif callable(color):
             node_colors = color(graph)
         else:

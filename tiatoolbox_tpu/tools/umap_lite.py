@@ -1,0 +1,174 @@
+"""Minimal UMAP implementation (no umap-learn in this environment).
+
+Implements the standard UMAP algorithm (McInnes et al. 2018) the way
+``umap.UMAP`` defaults do — kNN fuzzy simplicial set with per-point
+bandwidth calibration, spectral initialization, and negative-sampling
+SGD on the cross-entropy layout objective. Used by
+``SlideGraphConstructor.visualise`` for node-feature→RGB reduction
+(reference ``tools/graph.py:214-230``). Stochastic like the original:
+embeddings match umap-learn in structure, not bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse
+from scipy.sparse.linalg import eigsh
+
+SMOOTH_K_TOLERANCE = 1e-5
+MIN_K_DIST_SCALE = 1e-3
+
+
+def _smooth_knn_dist(distances: np.ndarray, k: float, n_iter: int = 64):
+    """Per-point (sigma, rho) so that sum exp(-(d-rho)/sigma) = log2(k)."""
+    target = np.log2(k)
+    rho = np.zeros(distances.shape[0])
+    sigma = np.zeros(distances.shape[0])
+    mean_all = distances.mean()
+    for i in range(distances.shape[0]):
+        row = distances[i]
+        non_zero = row[row > 0.0]
+        rho[i] = non_zero[0] if non_zero.size else 0.0
+        lo, hi, mid = 0.0, np.inf, 1.0
+        for _ in range(n_iter):
+            psum = np.sum(np.exp(-np.maximum(row[1:] - rho[i], 0.0) / mid))
+            if abs(psum - target) < SMOOTH_K_TOLERANCE:
+                break
+            if psum > target:
+                hi = mid
+                mid = (lo + hi) / 2.0
+            else:
+                lo = mid
+                mid = mid * 2.0 if hi == np.inf else (lo + hi) / 2.0
+        sigma[i] = max(mid, MIN_K_DIST_SCALE * (non_zero.mean() if non_zero.size else mean_all))
+    return sigma, rho
+
+
+def _fuzzy_simplicial_set(x: np.ndarray, n_neighbors: int):
+    from sklearn.neighbors import NearestNeighbors
+
+    n = x.shape[0]
+    k = min(n_neighbors, n - 1)
+    nn = NearestNeighbors(n_neighbors=k + 1).fit(x)
+    dists, idx = nn.kneighbors(x)
+    sigma, rho = _smooth_knn_dist(dists, k + 1)
+    rows = np.repeat(np.arange(n), k)
+    cols = idx[:, 1:].ravel()
+    vals = np.exp(
+        -np.maximum(dists[:, 1:] - rho[:, None], 0.0) / sigma[:, None]
+    ).ravel()
+    a = sparse.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    at = a.T
+    # probabilistic t-conorm symmetrization: a + a' - a∘a'
+    return (a + at - a.multiply(at)).tocoo()
+
+
+def _spectral_init(graph, n_components: int, rng) -> np.ndarray:
+    n = graph.shape[0]
+    deg = np.asarray(graph.sum(axis=1)).ravel()
+    deg[deg == 0] = 1.0
+    d_inv_sqrt = sparse.diags(1.0 / np.sqrt(deg))
+    lap = sparse.identity(n) - d_inv_sqrt @ graph @ d_inv_sqrt
+    try:
+        _vals, vecs = eigsh(
+            lap, k=n_components + 1, which="SM", tol=1e-4, maxiter=n * 20
+        )
+        emb = vecs[:, 1 : n_components + 1]
+        expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
+        return emb * expansion + rng.normal(0, 1e-4, emb.shape)
+    except Exception:  # eigensolver failure: random fallback
+        return rng.uniform(-10, 10, (n, n_components))
+
+
+def _find_ab_params(spread: float, min_dist: float):
+    """Least-squares fit of the (a, b) differentiable-curve params."""
+    from scipy.optimize import curve_fit
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2 * b))
+
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.where(
+        xv < min_dist, 1.0, np.exp(-(xv - min_dist) / spread)
+    )
+    (a, b), _ = curve_fit(curve, xv, yv)
+    return a, b
+
+
+class UMAP:
+    """Drop-in subset of ``umap.UMAP`` (fit_transform only).
+
+    Args mirror umap-learn defaults where implemented.
+    """
+
+    def __init__(
+        self,
+        n_components: int = 2,
+        n_neighbors: int = 15,
+        min_dist: float = 0.1,
+        spread: float = 1.0,
+        n_epochs: int | None = None,
+        learning_rate: float = 1.0,
+        negative_sample_rate: int = 5,
+        random_state: int | None = None,
+    ) -> None:
+        self.n_components = n_components
+        self.n_neighbors = n_neighbors
+        self.min_dist = min_dist
+        self.spread = spread
+        self.n_epochs = n_epochs
+        self.learning_rate = learning_rate
+        self.negative_sample_rate = negative_sample_rate
+        self.random_state = random_state
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        if n <= self.n_components:
+            return np.zeros((n, self.n_components), np.float32)
+        rng = np.random.default_rng(self.random_state)
+        graph = _fuzzy_simplicial_set(x, self.n_neighbors)
+        emb = _spectral_init(graph.tocsr(), self.n_components, rng).astype(
+            np.float32
+        )
+        a, b = _find_ab_params(self.spread, self.min_dist)
+        n_epochs = self.n_epochs or (500 if n < 10_000 else 200)
+
+        # per-edge epoch scheduling as in umap-learn
+        weights = graph.data
+        heads, tails = graph.row, graph.col
+        epochs_per_sample = np.full(weights.shape, np.inf)
+        mask = weights > 0
+        epochs_per_sample[mask] = n_epochs / (
+            weights[mask] / weights[mask].max()
+        )
+        epoch_of_next = epochs_per_sample.copy()
+        neg_rate = self.negative_sample_rate
+
+        for epoch in range(n_epochs):
+            alpha = self.learning_rate * (1.0 - epoch / n_epochs)
+            active = epoch_of_next <= epoch
+            for e in np.nonzero(active)[0]:
+                i, j = heads[e], tails[e]
+                diff = emb[i] - emb[j]
+                d2 = float(diff @ diff)
+                if d2 > 0.0:
+                    grad_coeff = (-2.0 * a * b * d2 ** (b - 1.0)) / (
+                        a * d2**b + 1.0
+                    )
+                    g = np.clip(grad_coeff * diff, -4.0, 4.0)
+                    emb[i] += alpha * g
+                    emb[j] -= alpha * g
+                for _ in range(neg_rate):
+                    k = int(rng.integers(n))
+                    if k == i:
+                        continue
+                    diff = emb[i] - emb[k]
+                    d2 = float(diff @ diff)
+                    if d2 > 0.0:
+                        grad_coeff = (2.0 * b) / (
+                            (0.001 + d2) * (a * d2**b + 1.0)
+                        )
+                        emb[i] += alpha * np.clip(grad_coeff * diff, -4.0, 4.0)
+                epoch_of_next[e] += epochs_per_sample[e]
+        return emb
