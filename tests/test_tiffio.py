@@ -98,3 +98,34 @@ def test_ndpi_metadata_tags(tmp_path) -> None:
     meta = tf.svs_metadata()
     assert meta["vendor"] == "hamamatsu"
     assert meta["objective_power"] == 20.0
+
+
+def test_prefetch_regions_batch_decode(tmp_path) -> None:
+    """prefetch_regions fills the tile cache via the native batched
+    decoder with pixels identical to the per-tile cv2 path."""
+    import numpy as np
+
+    from tiatoolbox_tpu.data.synth import make_synthetic_slide
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    slide = tmp_path / "p.tiff"
+    make_synthetic_slide(slide, size=(2048, 1536), mpp=0.5, objective_power=20)
+    r1 = WSIReader.open(slide)
+    r1.prefetch_bounds([(0, 0, 600, 600), (1500, 1000, 2000, 1500)], 0.5, "mpp")
+    a = r1.read_rect((100, 100), (256, 256), resolution=0.5, units="mpp")
+    r2 = WSIReader.open(slide)
+    b = r2.read_rect((100, 100), (256, 256), resolution=0.5, units="mpp")
+    assert np.array_equal(a, b)
+
+
+def test_prefetch_ignores_non_jpeg(tmp_path) -> None:
+    import numpy as np
+
+    from tiatoolbox_tpu.wsicore.tiffio import TiffFile, TiffPyramidWriter
+
+    img = np.random.randint(0, 255, (256, 256, 3), np.uint8)
+    path = tmp_path / "d.tiff"
+    TiffPyramidWriter(path, tile_size=128, compression="deflate").write([img])
+    tf = TiffFile(path)
+    tf.prefetch_regions(0, [(0, 0, 256, 256)])  # no-op, must not raise
+    assert np.array_equal(tf.read_region(0, (0, 0), (256, 256)), img)

@@ -220,6 +220,28 @@ class WSIPatchDataset(PatchDatasetABC):
                 return None
         return None
 
+    def prefetch(self, indices) -> None:
+        """Batch-decode the tiles a set of grid cells will read.
+
+        Called by ``BatchLoader`` before per-item reads; readers without
+        a prefetch hook (non-TIFF) ignore it.
+        """
+        hook = getattr(self.reader, "prefetch_bounds", None)
+        if hook is None:
+            return
+        bounds = []
+        for idx in indices:
+            coords = np.asarray(self.inputs[idx], float)
+            bounds.append(
+                self.reader.bounds_at_resolution_to_baseline(
+                    coords, self.resolution, self.units
+                )
+            )
+        try:
+            hook(bounds, self.resolution, self.units)
+        except Exception:  # prefetch is advisory; reads still succeed
+            logger.debug("tile prefetch failed", exc_info=True)
+
     def __getitem__(self, idx: int) -> dict:
         coords = self.inputs[idx]
         bounds_size = coords[2:] - coords[:2]

@@ -57,6 +57,10 @@ class BatchLoader:
     def _load_batch(self, batch_indices: np.ndarray, pool) -> dict:
         n_valid = len(batch_indices)
         batch: dict = {"n_valid": n_valid, "indices": np.asarray(batch_indices)}
+        prefetch = getattr(self.dataset, "prefetch", None)
+        if prefetch is not None:
+            # one parallel native decode of every tile this batch touches
+            prefetch(batch_indices)
         first = self.dataset[batch_indices[0]]
         # Preallocate fixed-shape buffers from the first item and let the
         # workers write into their slots directly — avoids the extra

@@ -465,6 +465,15 @@ class TiffFile:
             for ty in range(iy0 // tl, (iy1 - 1) // tl + 1)
             for tx in range(ix0 // tw, (ix1 - 1) // tw + 1)
         ]
+        return self._batch_decode_indices(page, indices)
+
+    def _batch_decode_indices(
+        self, page: TiffPage, indices
+    ) -> dict[int, np.ndarray] | None:
+        """Decode the given tile indices in one native batch (cached)."""
+        if page.compression != COMPRESSION_JPEG or page.samples_per_pixel not in (1, 3):
+            return None
+        tw, tl = page.tile_width, page.tile_length
         cached = {
             i: self._cache_get((page.index, i))
             for i in indices
@@ -499,6 +508,33 @@ class TiffFile:
             result[idx] = tile
             self._cache_put((page.index, idx), tile)
         return result
+
+    def prefetch_regions(self, page_index: int, bounds_list) -> None:
+        """Batch-decode the JPEG tiles covering many regions at once.
+
+        ``bounds_list``: iterable of (x0, y0, x1, y1) in page pixels.
+        The union of touched tiles decodes in one parallel native call
+        (C++ libjpeg threads); subsequent ``read_region`` calls hit the
+        cache. No-op for non-JPEG pages or when the native lib is
+        unavailable.
+        """
+        page = self.pages[page_index]
+        if page.compression != COMPRESSION_JPEG or not page.tile_width:
+            return
+        tw, tl = page.tile_width, page.tile_length
+        ta = page.tiles_across
+        wanted: set[int] = set()
+        for x0, y0, x1, y1 in bounds_list:
+            x0 = max(int(x0), 0)
+            y0 = max(int(y0), 0)
+            x1 = min(int(np.ceil(x1)), page.width)
+            y1 = min(int(np.ceil(y1)), page.height)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            for ty in range(y0 // tl, (y1 - 1) // tl + 1):
+                for tx in range(x0 // tw, (x1 - 1) // tw + 1):
+                    wanted.add(ty * ta + tx)
+        self._batch_decode_indices(page, sorted(wanted))
 
     def read_region(
         self,

@@ -969,6 +969,17 @@ class TIFFWSIReader(WSIReader):
             page_index, tuple(int(v) for v in location), tuple(int(v) for v in size)
         )
 
+    def prefetch_bounds(self, bounds_list, resolution, units) -> None:
+        """Batch-decode all JPEG tiles the given baseline-frame bounds
+        will touch (one parallel native libjpeg call; see
+        ``TiffFile.prefetch_regions``). Engines call this per batch so
+        tile decode runs GIL-free across cores ahead of the per-patch
+        reads."""
+        level, _scale = self._find_optimal_level_and_downsample(resolution, units)
+        ds = self.info.level_downsamples[level]
+        level_bounds = [tuple(np.asarray(b, float) / ds) for b in bounds_list]
+        self.tiff.prefetch_regions(self._level_pages[level], level_bounds)
+
 
 class MIRAXWSIReader(WSIReader):
     """3DHISTECH MIRAX (.mrxs) reader on the native ``mirax`` parser.
