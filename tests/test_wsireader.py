@@ -171,6 +171,72 @@ class TestReaderMatrix:
             if reader.info.objective_power is None else reader.slide_thumbnail()
         assert thumb.ndim == 3
 
+    @ALL_READERS
+    def test_read_region_openslide_compat(self, reader) -> None:
+        region = reader.read_region((32, 32), 0, (96, 96))
+        assert region.shape == (96, 96, 3)
+
+    @ALL_READERS
+    def test_read_rect_equals_read_bounds_at_level0(self, reader) -> None:
+        rect = reader.read_rect((64, 96), (128, 64), resolution=0, units="level")
+        bounds = reader.read_bounds(
+            (64, 96, 64 + 128, 96 + 64), resolution=0, units="level"
+        )
+        assert np.array_equal(rect, bounds)
+
+    @ALL_READERS
+    def test_read_rect_resolution_coord_space(self, reader) -> None:
+        region = reader.read_rect(
+            (16, 16), (64, 64), resolution=0.5, units="baseline",
+            coord_space="resolution",
+        )
+        assert region.shape == (64, 64, 3)
+
+    @ALL_READERS
+    def test_negative_location_pads(self, reader) -> None:
+        region = reader.read_rect((-32, -32), (64, 64), resolution=0, units="level")
+        assert region.shape == (64, 64, 3)
+        assert (region[:16, :16] == 0).all()  # constant pad default
+
+    @ALL_READERS
+    def test_pad_constant_value(self, reader) -> None:
+        region = reader.read_rect(
+            (-32, -32), (64, 64), resolution=0, units="level",
+            pad_mode="constant", pad_constant_values=255,
+        )
+        assert (region[:16, :16] == 255).all()
+
+    @ALL_READERS
+    def test_slide_dimensions_halve_at_half_resolution(self, reader) -> None:
+        full = reader.slide_dimensions(0, "level")
+        half = reader.slide_dimensions(0.5, "baseline")
+        assert abs(half[0] - full[0] / 2) <= 1
+        assert abs(half[1] - full[1] / 2) <= 1
+
+    @ALL_READERS
+    def test_fractional_resolution_read(self, reader) -> None:
+        region = reader.read_rect((0, 0), (100, 100), resolution=0.3, units="baseline")
+        assert region.shape == (100, 100, 3)
+
+    @ALL_READERS
+    def test_interpolation_none_returns_level_pixels(self, reader) -> None:
+        region = reader.read_bounds(
+            (0, 0, 200, 200), resolution=0, units="level", interpolation="none"
+        )
+        assert region.shape[0] >= 200 and region.shape[1] >= 200
+
+    @ALL_READERS
+    def test_info_as_dict_roundtrip(self, reader) -> None:
+        d = reader.info.as_dict()
+        assert tuple(d["slide_dimensions"]) == (SLIDE_W, SLIDE_H)
+        assert "level_downsamples" in d
+
+    @ALL_READERS
+    def test_tissue_mask_matrix(self, reader) -> None:
+        mask = reader.tissue_mask(method="otsu", resolution=8.0, units="baseline")
+        assert mask.img.ndim == 2
+        assert mask.img.dtype == np.uint8 or mask.img.dtype == bool
+
 
 class TestTIFFReader:
     def test_mpp_power_metadata(self, slide_path) -> None:
