@@ -301,8 +301,16 @@ class EngineABC(ABC):
                 probabilities.append(_fetch(*inflight.popleft()))
             self._max_inflight_seen = max(self._max_inflight_seen, len(inflight))
             n_total += n_valid
-            if return_coordinates and "coords" in batch:
-                coordinates.append(batch["coords"][:n_valid])
+            if return_coordinates:
+                if "coords" in batch:
+                    coordinates.append(batch["coords"][:n_valid])
+                else:
+                    # Patch mode has no grid: each patch's coordinates are
+                    # its own extent (reference engine_abc.py:482-502).
+                    h, w = np.asarray(batch["image"].shape)[1:3]
+                    coordinates.append(
+                        np.tile([0, 0, int(w), int(h)], (n_valid, 1))
+                    )
             if self.return_labels and "label" in batch:
                 labels.append(np.asarray(batch["label"])[:n_valid])
         while inflight:
@@ -374,10 +382,19 @@ class EngineABC(ABC):
         if output_type.lower() in ("annotationstore", "qupath"):
             from tiatoolbox_tpu.utils.store_conversion import (
                 dict_to_store_patch_predictions,
+                store_to_qupath_json,
             )
 
-            out_path = Path(save_dir) / (output_file or "output.db")
             scale_factor = kwargs.get("scale_factor", self.scale_factor)
+            if output_type.lower() == "qupath":
+                out_path = Path(save_dir) / (output_file or "output.json")
+                store = dict_to_store_patch_predictions(
+                    processed_predictions,
+                    scale_factor=scale_factor,
+                    class_dict=self.class_dict,
+                )
+                return store_to_qupath_json(store, out_path)
+            out_path = Path(save_dir) / (output_file or "output.db")
             return dict_to_store_patch_predictions(
                 processed_predictions,
                 scale_factor=scale_factor,
@@ -407,7 +424,8 @@ class EngineABC(ABC):
         dataloader = self.get_dataloader(
             images=self.images, labels=self.labels, patch_mode=True
         )
-        raw = self.infer_patches(dataloader)
+        need_coords = output_type.lower() in ("annotationstore", "qupath")
+        raw = self.infer_patches(dataloader, return_coordinates=need_coords)
         processed = self.post_process_patches(raw)
         return self.save_predictions(
             processed, output_type, save_dir, output_file=self.output_file, **kwargs
