@@ -452,7 +452,9 @@ class WSIReader:
             )
         if self.post_proc is not None:
             region = self.post_proc(region)
-        return region
+        # cross-reader contract: reads are C-contiguous (JP2/zarr paths
+        # may otherwise hand back slice views)
+        return np.ascontiguousarray(region)
 
     def read_rect_at_resolution(
         self,
