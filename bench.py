@@ -50,7 +50,7 @@ PATCH_BYTES_RGB = 224 * 224 * 3
 PATCH_BYTES_YUV = PATCH_BYTES_RGB // 2
 
 
-def measure_link_mb_per_sec(n_bufs: int = 40, streams: int = 2) -> dict:
+def measure_link_mb_per_sec(n_bufs: int = 40, streams: int = 4) -> dict:
     """Host→device bandwidth with distinct 19 MB buffers.
 
     The tunneled relay absorbs a ~400 MB burst at local-socket speed
@@ -122,8 +122,8 @@ def bench_patch_predictor() -> dict:
             output_type="dict",
             auto_get_mask=False,
             verbose=False,
-            transfer_threads=2,
-            max_inflight_batches=8,
+            transfer_threads=4,
+            max_inflight_batches=12,
         )
         elapsed = time.perf_counter() - t0
         result = next(iter(out.values()))
@@ -138,7 +138,7 @@ def bench_patch_predictor() -> dict:
         predictor.run(
             [warm_slide], patch_mode=False, ioconfig=ioconfig,
             output_type="dict", auto_get_mask=False, verbose=False,
-            transfer_threads=2, max_inflight_batches=8,
+            transfer_threads=4, max_inflight_batches=12,
         )
 
     # Two timed runs per wire format; the tunnel's drain rate wanders,
@@ -187,18 +187,14 @@ def bench_patch_predictor() -> dict:
     np.asarray(chain(x))
     device_pps = batch_size * n_iter / (time.perf_counter() - t0)
 
-    link = measure_link_mb_per_sec()  # last: poisons whatever follows
-    pps = max(runs["yuv420"])
-    ceiling = link["sustained_mb_per_sec"] * 1e6 / PATCH_BYTES_YUV
+    # NOTE: the link probe is NOT run here — it fills the relay's burst
+    # buffer and throttles every config that follows. main() probes the
+    # link once, after ALL configs, and derives the ceiling there.
     return {
-        "pps": pps,
+        "pps": max(runs["yuv420"]),
         "rgb_pps": max(runs["rgb"]),
         "all_runs_pps": {k: [round(v, 1) for v in vs] for k, vs in runs.items()},
         "n_patches": 1036,
-        "link_mb_per_sec": link["sustained_mb_per_sec"],
-        "link_burst_mb_per_sec": link["burst_mb_per_sec"],
-        "link_ceiling_pps": ceiling,
-        "link_efficiency": pps / ceiling,
         "device_only_pps": device_pps,
         "mfu": device_pps * RESNET18_FLOPS / V5E_BF16_PEAK,
         "wire_prob_delta_max": delta,
@@ -294,13 +290,13 @@ def bench_stainnorm() -> dict:
         arr.block_until_ready()
         return arr
 
-    with ThreadPoolExecutor(2) as pool:
+    with ThreadPoolExecutor(4) as pool:
         t0 = time.perf_counter()
         inflight: deque = deque()
         outs = []
         for fut in [pool.submit(put, c) for c in chunks]:
             inflight.append(dev_transform(fut.result()))
-            if len(inflight) > 3:
+            if len(inflight) > 5:
                 outs.append(np.asarray(inflight.popleft()))
         while inflight:
             outs.append(np.asarray(inflight.popleft()))
@@ -336,7 +332,7 @@ def bench_semantic_segmentor() -> dict:
     from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
 
     slide_path = f"/tmp/bench_seg_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(2048, 1536), mpp=0.5, objective_power=20)
+    make_synthetic_slide(slide_path, size=(4096, 3072), mpp=0.5, objective_power=20)
     model = UNetModel(
         num_input_channels=3,
         num_output_channels=2,
@@ -345,13 +341,17 @@ def bench_semantic_segmentor() -> dict:
     )
     model.init(input_shape=(1, 256, 256, 3))
     model.optimize_for_inference()
+    # UNet's fused program emits probabilities at half-input resolution;
+    # declaring that in the ioconfig keeps every output cell equal to
+    # the model's output patch, so the engine stitches ON DEVICE (HBM
+    # scatter-add) and fetches only the final cropped canvas.
     ioconfig = IOSegmentorConfig(
         input_resolutions=[{"units": "mpp", "resolution": 0.5}],
-        output_resolutions=[{"units": "mpp", "resolution": 0.5}],
+        output_resolutions=[{"units": "mpp", "resolution": 1.0}],
         patch_input_shape=(256, 256),
         patch_output_shape=(256, 256),
         stride_shape=(192, 192),
-        save_resolution={"units": "mpp", "resolution": 0.5},
+        save_resolution={"units": "mpp", "resolution": 1.0},
     )
     seg = SemanticSegmentor(model, batch_size=32, num_loader_workers=0)
     out = seg.run(  # warm run compiles the programs
@@ -360,6 +360,7 @@ def bench_semantic_segmentor() -> dict:
         ioconfig=ioconfig,
         auto_get_mask=False,
         verbose=False,
+        canvas_wire_dtype="float16",
     )
     t0 = time.perf_counter()
     out = seg.run(
@@ -368,10 +369,11 @@ def bench_semantic_segmentor() -> dict:
         ioconfig=ioconfig,
         auto_get_mask=False,
         verbose=False,
+        canvas_wire_dtype="float16",
     )
     elapsed = time.perf_counter() - t0
     probs = np.asarray(next(iter(out.values()))["probabilities"])
-    mpix = probs.shape[0] * probs.shape[1] / 1e6
+    mpix = 4096 * 3072 / 1e6  # slide pixels processed (map is half-res)
     return {"mpix_per_sec": mpix / elapsed, "map_shape": list(probs.shape)}
 
 
@@ -384,7 +386,7 @@ def bench_multitask_segmentor() -> dict:
     from tiatoolbox_tpu.models.engine.multi_task_segmentor import MultiTaskSegmentor
 
     slide_path = f"/tmp/bench_mts_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(1024, 768), mpp=0.25, objective_power=40)
+    make_synthetic_slide(slide_path, size=(2048, 1536), mpp=0.25, objective_power=40)
     model, ioconfig = get_pretrained_model("hovernet_fast-pannuke")
     model.optimize_for_inference()
     seg = MultiTaskSegmentor(model, batch_size=16, num_loader_workers=0)
@@ -406,7 +408,7 @@ def bench_multitask_segmentor() -> dict:
     elapsed = time.perf_counter() - t0
     result = next(iter(out.values()))
     n_inst = len(result.get("instances", result))
-    mpix = 1024 * 768 / 1e6
+    mpix = 2048 * 1536 / 1e6
     return {
         "mpix_per_sec": mpix / elapsed,
         "instances": n_inst,
@@ -446,6 +448,15 @@ def main() -> None:
     except Exception:
         mts = {"mpix_per_sec": None, "instances_per_sec": None}
 
+    # Link probe LAST: it deliberately saturates the relay's burst
+    # buffer, which throttles any transfer-bound run after it.
+    try:
+        link = measure_link_mb_per_sec()
+    except Exception:
+        link = {"sustained_mb_per_sec": None, "burst_mb_per_sec": None}
+    link_sus = link["sustained_mb_per_sec"]
+    ceiling = (link_sus * 1e6 / PATCH_BYTES_YUV) if link_sus else None
+
     result = {
         "metric": "patches/sec/chip (resnet18-kather100k WSI, end-to-end)",
         "value": round(pp["pps"], 2),
@@ -456,10 +467,10 @@ def main() -> None:
         "torch_cpu_e2e_pps": _r(ref["torch_cpu_e2e_pps"]),
         "e2e_rgb_pps": round(pp["rgb_pps"], 1),
         "e2e_runs_pps": pp["all_runs_pps"],
-        "link_mb_per_sec": round(pp["link_mb_per_sec"], 1),
-        "link_burst_mb_per_sec": round(pp["link_burst_mb_per_sec"], 1),
-        "e2e_link_ceiling_pps": round(pp["link_ceiling_pps"], 1),
-        "e2e_link_efficiency": round(pp["link_efficiency"], 3),
+        "link_mb_per_sec": _r(link_sus, 1),
+        "link_burst_mb_per_sec": _r(link["burst_mb_per_sec"], 1),
+        "e2e_link_ceiling_pps": _r(ceiling, 1),
+        "e2e_link_efficiency": _r(pp["pps"] / ceiling, 3) if ceiling else None,
         "wire_format": "yuv420 (1.5 B/px)",
         "wire_prob_delta_max": round(pp["wire_prob_delta_max"], 5),
         "device_only_patches_per_sec": round(pp["device_only_pps"], 1),

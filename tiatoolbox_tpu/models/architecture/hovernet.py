@@ -234,33 +234,49 @@ class HoVerNet(ModelABC):
     # -- inference -----------------------------------------------------------------
 
     @staticmethod
+    def _ensure_jitted_infer(model: "HoVerNet") -> None:
+        if model._jitted_infer is not None:
+            return
+        module = model.module
+
+        @jax.jit
+        def _run(variables, x):
+            pred = module.apply(variables, x)
+            out = {}
+            np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
+            out["np"] = np_probs[..., 1:]
+            out["hv"] = pred["hv"].astype(jnp.float32)
+            if "tp" in pred:
+                tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
+                out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(
+                    jnp.float32
+                )
+            return out
+
+        model._jitted_infer = _run
+
+    @staticmethod
     def infer_batch(model: "HoVerNet", batch_data, device: str | None = None):  # noqa: ARG004
         """uint8 NHWC batch → (np, hv[, tp]) numpy maps.
 
         Head math (softmax np → foreground prob; tp argmax) runs inside
         the jitted program (reference ``hovernet.py:862-931``).
         """
+        out = HoVerNet.infer_batch_device(model, batch_data, device)
+        return tuple(np.asarray(v) for v in out)
+
+    @staticmethod
+    def infer_batch_device(
+        model: "HoVerNet", batch_data, device: str | None = None  # noqa: ARG004
+    ):
+        """As :meth:`infer_batch` but returns UNFETCHED device arrays.
+
+        Engines overlap the next batch's host→HBM copy with this
+        batch's forward, and control the fetch dtype (e.g. f16 wire).
+        """
         batch = jnp.asarray(batch_data).astype(model.compute_dtype)
-        if model._jitted_infer is None:
-            module = model.module
-
-            @jax.jit
-            def _run(variables, x):
-                pred = module.apply(variables, x)
-                out = {}
-                np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
-                out["np"] = np_probs[..., 1:]
-                out["hv"] = pred["hv"].astype(jnp.float32)
-                if "tp" in pred:
-                    tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
-                    out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(
-                        jnp.float32
-                    )
-                return out
-
-            model._jitted_infer = _run
+        HoVerNet._ensure_jitted_infer(model)
         out = model._jitted_infer(model.variables, batch)
-        out = {k: np.asarray(v) for k, v in out.items()}
         if "tp" in out:
             return out["np"], out["hv"], out["tp"]
         return out["np"], out["hv"]

@@ -103,27 +103,40 @@ class HoVerNetPlus(HoVerNet):
         self._jitted_infer = None
 
     @staticmethod
+    def _ensure_jitted_infer(model: "HoVerNetPlus") -> None:
+        if model._jitted_infer is not None:
+            return
+        module = model.module
+
+        @jax.jit
+        def _run(variables, x):
+            pred = module.apply(variables, x)
+            out = {}
+            np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
+            out["np"] = np_probs[..., 1:]
+            out["hv"] = pred["hv"].astype(jnp.float32)
+            tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
+            out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(jnp.float32)
+            ls = jax.nn.softmax(pred["ls"].astype(jnp.float32), axis=-1)
+            out["ls"] = jnp.argmax(ls, axis=-1, keepdims=True).astype(jnp.float32)
+            return out
+
+        model._jitted_infer = _run
+
+    @staticmethod
     def infer_batch(model: "HoVerNetPlus", batch_data, device: str | None = None):  # noqa: ARG004
         """uint8 NHWC batch → (np, hv, tp, ls) numpy maps."""
+        out = HoVerNetPlus.infer_batch_device(model, batch_data, device)
+        return tuple(np.asarray(v) for v in out)
+
+    @staticmethod
+    def infer_batch_device(
+        model: "HoVerNetPlus", batch_data, device: str | None = None  # noqa: ARG004
+    ):
+        """As :meth:`infer_batch` but returns UNFETCHED device arrays."""
         batch = jnp.asarray(batch_data).astype(model.compute_dtype)
-        if model._jitted_infer is None:
-            module = model.module
-
-            @jax.jit
-            def _run(variables, x):
-                pred = module.apply(variables, x)
-                out = {}
-                np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
-                out["np"] = np_probs[..., 1:]
-                out["hv"] = pred["hv"].astype(jnp.float32)
-                tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
-                out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(jnp.float32)
-                ls = jax.nn.softmax(pred["ls"].astype(jnp.float32), axis=-1)
-                out["ls"] = jnp.argmax(ls, axis=-1, keepdims=True).astype(jnp.float32)
-                return out
-
-            model._jitted_infer = _run
-        out = {k: np.asarray(v) for k, v in model._jitted_infer(model.variables, batch).items()}
+        HoVerNetPlus._ensure_jitted_infer(model)
+        out = model._jitted_infer(model.variables, batch)
         return out["np"], out["hv"], out["tp"], out["ls"]
 
     @staticmethod

@@ -228,6 +228,16 @@ class UNetModel(ModelABC):
         upsample → centre crop to half the input size — all fused into
         the jitted program.
         """
+        return np.asarray(
+            UNetModel.infer_batch_device(model, batch_data, device)
+        )
+
+    @staticmethod
+    def infer_batch_device(
+        model: "UNetModel", batch_data, device: str | None = None  # noqa: ARG004
+    ):
+        """As :meth:`infer_batch` but returns the UNFETCHED device array
+        (engines stitch on device / control the fetch dtype)."""
         batch = jnp.asarray(batch_data).astype(model.compute_dtype)
         if model._jitted_infer is None:
             module = model.module
@@ -247,7 +257,6 @@ class UNetModel(ModelABC):
                 )
 
             model._jitted_infer = _run
-        out = model._jitted_infer(model.variables, batch)
-        return np.asarray(out)
+        return model._jitted_infer(model.variables, batch)
 
     _jitted_infer = None

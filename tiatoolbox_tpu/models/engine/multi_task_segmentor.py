@@ -107,13 +107,33 @@ class MultiTaskSegmentor(SemanticSegmentor):
         )
 
         outputs_arr = dataset.outputs
+        # Staged host→HBM copies overlap the forwards; device outputs
+        # are fetched per batch at the canvas wire dtype (f16 halves
+        # the head-map bytes on slow links; exact for tp argmax values).
+        f16_wire = str(self.canvas_wire_dtype) in ("float16", "f16", "fp16")
+
+        def _fetch(h):
+            import jax
+
+            if f16_wire and isinstance(h, jax.Array):
+                import jax.numpy as jnp
+
+                return np.asarray(h.astype(jnp.float16)).astype(np.float32)
+            return np.asarray(h, np.float32)
+
+        batch_iter = dataloader.iter_staged(
+            self.model.stage_batch, int(getattr(self, "transfer_threads", 2))
+        )
         for batch in _progress(
-            dataloader, verbose=self.verbose, desc="infer-wsi"
+            batch_iter, verbose=self.verbose, desc="infer-wsi",
+            total=len(dataloader),
         ):
-            heads = self.model.infer_batch(self.model, batch["image"], self.device)
+            heads = self.model.infer_batch_device(
+                self.model, batch["image"], self.device
+            )
             if not isinstance(heads, (tuple, list)):
                 heads = (heads,)
-            heads = [np.asarray(h, np.float32) for h in heads]
+            heads = [_fetch(h) for h in heads]
             n_valid = batch["n_valid"]
             indices = batch["indices"][:n_valid]
             # model output patch size may differ from grid cell

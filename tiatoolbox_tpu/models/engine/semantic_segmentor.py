@@ -56,8 +56,14 @@ class SemanticSegmentor(EngineABC):
         )
         self.cache_dir: Path | None = None
         self.memory_threshold = 0.5  # fraction of free RAM before zarr spill
+        # Wire dtype for fetching the device-stitched canvas to host:
+        # "float32" (exact) or "float16" (half the device→host bytes;
+        # ≤6e-4 probability quantization, well under stitch-seam noise).
+        self.canvas_wire_dtype = "float32"
 
-    _RUN_PARAMS = (*EngineABC._RUN_PARAMS, "memory_threshold")
+    _RUN_PARAMS = (
+        *EngineABC._RUN_PARAMS, "memory_threshold", "canvas_wire_dtype"
+    )
 
     # -- data -------------------------------------------------------------------
 
@@ -152,11 +158,28 @@ class SemanticSegmentor(EngineABC):
         )
 
         outputs_arr = dataset.outputs
+        # Staged host→HBM copies overlap the forwards; the fetch dtype
+        # follows canvas_wire_dtype (f16 halves device→host bytes, the
+        # binding term for probability maps on slow links).
+        f16_wire = str(self.canvas_wire_dtype) in ("float16", "f16", "fp16")
+        batch_iter = dataloader.iter_staged(
+            self.model.stage_batch, int(getattr(self, "transfer_threads", 2))
+        )
         for batch in _progress(
-            dataloader, verbose=self.verbose, desc="infer-wsi"
+            batch_iter, verbose=self.verbose, desc="infer-wsi",
+            total=len(dataloader),
         ):
-            probs = self.model.infer_batch(self.model, batch["image"], self.device)
-            probs = np.asarray(probs, dtype=np.float32)
+            probs_dev = self.model.infer_batch_device(
+                self.model, batch["image"], self.device
+            )
+            if f16_wire:
+                import jax.numpy as jnp
+
+                probs = np.asarray(probs_dev.astype(jnp.float16)).astype(
+                    np.float32
+                )
+            else:
+                probs = np.asarray(probs_dev, dtype=np.float32)
             n_valid = batch["n_valid"]
             indices = batch["indices"][:n_valid]
             for i, ds_idx in enumerate(indices):
@@ -166,13 +189,20 @@ class SemanticSegmentor(EngineABC):
                 ).round().astype(int)
                 patch = probs[i]
                 ph, pw = patch.shape[:2]
-                # resize patch if canvas-space cell differs from model output
+                # cell size differs from the model output: boundary-
+                # clipped cells are CROPPED (reference merge semantics,
+                # and what the device-canvas path does); cells at a
+                # different output scale are resized.
                 if (y1 - y0, x1 - x0) != (ph, pw) and (y1 - y0) > 0 and (x1 - x0) > 0:
-                    from tiatoolbox_tpu.utils.transforms import imresize
+                    touches_edge = x1 >= canvas_wh[0] or y1 >= canvas_wh[1]
+                    if touches_edge and (x1 - x0) <= pw and (y1 - y0) <= ph:
+                        patch = patch[: y1 - y0, : x1 - x0]
+                    else:
+                        from tiatoolbox_tpu.utils.transforms import imresize
 
-                    patch = imresize(patch, output_size=(x1 - x0, y1 - y0))
-                    if patch.ndim == 2:
-                        patch = patch[:, :, None]
+                        patch = imresize(patch, output_size=(x1 - x0, y1 - y0))
+                        if patch.ndim == 2:
+                            patch = patch[:, :, None]
                     ph, pw = patch.shape[:2]
                 # clip to canvas
                 cx1, cy1 = min(x1, canvas_wh[0]), min(y1, canvas_wh[1])
@@ -216,25 +246,25 @@ class SemanticSegmentor(EngineABC):
         n_pixels = int(canvas_wh[0]) * int(canvas_wh[1])
         if n_pixels * (n_channels + 1) * 4 > self._device_canvas_budget_bytes():
             return False
-        # uniform grid: every output cell must equal the model's output
-        # patch size in canvas space (no per-patch resize)
+        # uniform grid: every INTERIOR output cell must equal the
+        # model's output patch size in canvas space (no per-patch
+        # resize). Edge cells clipped by the slide boundary are fine —
+        # the scatter targets a padded canvas that is cropped (on
+        # device) before the fetch, so the out-of-slide remainder of an
+        # edge patch never reaches the host.
         sample = dataset[0]["image"]
         probe = self.model.infer_batch(self.model, sample[None], self.device)
         probe = np.asarray(probe)
-        cells = dataset.outputs
-        sizes = np.unique(
-            (cells[:, 2:] - cells[:, :2]).astype(float) * coord_scale, axis=0
-        )
-        if len(sizes) != 1:
-            return False
-        if tuple(np.round(sizes[0]).astype(int)[::-1]) != probe.shape[1:3]:
-            return False
-        # each output patch must fit inside the canvas (HBM scatter
-        # slices are patch-sized; host path handles the crop otherwise)
-        return (
-            probe.shape[1] <= int(canvas_wh[1])
-            and probe.shape[2] <= int(canvas_wh[0])
-        )
+        ph, pw = probe.shape[1:3]
+        cells = dataset.outputs.astype(float) * np.tile(coord_scale, 2)
+        sizes = np.round(cells[:, 2:] - cells[:, :2]).astype(int)
+        full = (sizes[:, 0] == pw) & (sizes[:, 1] == ph)
+        touches_edge = (
+            np.round(cells[:, 2]).astype(int) >= int(canvas_wh[0])
+        ) | (np.round(cells[:, 3]).astype(int) >= int(canvas_wh[1]))
+        clipped_ok = (sizes[:, 0] <= pw) & (sizes[:, 1] <= ph) & touches_edge
+        # every cell is either full-size or clipped against the boundary
+        return bool(np.all(full | clipped_ok))
 
     def _infer_wsi_device_canvas(
         self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale
@@ -244,7 +274,19 @@ class SemanticSegmentor(EngineABC):
 
         dataset = dataloader.dataset
         outputs_arr = dataset.outputs
-        canvas = DeviceCanvas((int(canvas_wh[1]), int(canvas_wh[0])), n_channels)
+        # Padded canvas: edge patches scatter past the slide boundary;
+        # the pad region is cropped ON DEVICE before the fetch.
+        sample = dataset[0]["image"]
+        probe = np.asarray(
+            self.model.infer_batch(self.model, sample[None], self.device)
+        )
+        ph, pw = probe.shape[1:3]
+        starts = np.round(
+            outputs_arr[:, :2].astype(float) * coord_scale
+        ).astype(int)
+        pad_h = max(int(canvas_wh[1]), int(starts[:, 1].max()) + ph)
+        pad_w = max(int(canvas_wh[0]), int(starts[:, 0].max()) + pw)
+        canvas = DeviceCanvas((pad_h, pad_w), n_channels)
         # staged feed: concurrent host→HBM copies overlap the scatters
         batch_iter = dataloader.iter_staged(
             self.model.stage_batch, int(getattr(self, "transfer_threads", 2))
@@ -265,7 +307,13 @@ class SemanticSegmentor(EngineABC):
             positions[:n_valid] = np.round(coords[:, [1, 0]]).astype(np.int32)
             valid = np.arange(batch_size) < n_valid
             canvas.add(probs, positions, valid)
-        return {"probabilities": np.asarray(canvas.normalized())}
+        h, w = int(canvas_wh[1]), int(canvas_wh[0])
+        if str(self.canvas_wire_dtype) in ("float16", "f16", "fp16"):
+            import jax.numpy as jnp
+
+            fetched = np.asarray(canvas.normalized(jnp.float16)[:h, :w])
+            return {"probabilities": fetched.astype(np.float32)}
+        return {"probabilities": np.asarray(canvas.normalized()[:h, :w])}
 
     def _infer_output_channels(self, dataset: WSIPatchDataset) -> int:
         """Probe the model with one patch to learn output channel count."""

@@ -114,8 +114,15 @@ class DeviceCanvas:
             jnp.asarray(valid),
         )
 
-    def normalized(self):
-        return normalize_canvas(self.canvas, self.count)
+    def normalized(self, dtype=None):
+        """Count-normalized canvas; ``dtype`` casts ON DEVICE before any
+        host fetch (e.g. float16 halves device→host wire bytes — the
+        fetch, not the compute, bounds whole-slide merge on slow links).
+        """
+        out = normalize_canvas(self.canvas, self.count)
+        if dtype is not None:
+            out = out.astype(dtype)
+        return out
 
     def predictions(self):
         return canvas_argmax(self.normalized())

@@ -2,8 +2,10 @@
 
 Hybrid spatial+feature agglomerative clustering of patch features,
 followed by distance-thresholded Delaunay triangulation of cluster
-centroids → a graph dict {x, edge_index, coordinates}. UMAP (absent in
-this build) is replaced by a PCA feature reducer for visualisation.
+centroids → a graph dict {x, edge_index, coordinates}. Node-color
+feature reduction uses the in-package UMAP (``tools/umap_lite.py`` —
+umap-learn is absent in this env) by default, with PCA as the fast
+fallback.
 """
 
 from __future__ import annotations
