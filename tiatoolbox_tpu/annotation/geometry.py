@@ -647,6 +647,18 @@ def wkt_to_geometry(wkt: str) -> Geometry:
     if name == "POLYGON":
         rings = _split_rings(body)
         return Polygon(parse_ring(rings[0]), [parse_ring(r) for r in rings[1:]])
+    if name == "MULTIPOINT":
+        groups = _depth2_groups(body)
+        if groups:  # "((0 0), (2 2))" form
+            return MultiPoint(
+                [Point(*parse_ring(g)[0]) for g in groups]
+            )
+        # bare "(0 0, 2 2)" form
+        return MultiPoint([Point(x, y) for x, y in parse_ring(body)])
+    if name == "MULTILINESTRING":
+        return MultiLineString(
+            [LineString(parse_ring(g)) for g in _depth2_groups(body)]
+        )
     if name == "MULTIPOLYGON":
         polys = []
         depth = 0
@@ -666,6 +678,23 @@ def wkt_to_geometry(wkt: str) -> Geometry:
         return MultiPolygon(polys)
     msg = f"Unsupported WKT type: {name}"
     raise ValueError(msg)
+
+
+def _depth2_groups(body: str) -> list[str]:
+    """Parenthesized groups at nesting depth 2 of a WKT body."""
+    groups = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+            if depth == 2:
+                start = i
+        elif ch == ")":
+            if depth == 2:
+                groups.append(body[start : i + 1])
+            depth -= 1
+    return groups
 
 
 def _split_rings(body: str) -> list[str]:
