@@ -95,6 +95,32 @@ class TestShardingEdgeCases:
         assert np.abs(np.asarray(dp)[: len(single)] - single).max() < 0.15
 
 
+class TestMultiHost:
+    """Single-process checks of the multi-host (DCN) plumbing; on one
+    host every function must collapse to its local equivalent."""
+
+    def test_initialize_noop_single_process(self) -> None:
+        from tiatoolbox_tpu.parallel import initialize_multihost
+
+        assert initialize_multihost() is False
+
+    def test_hybrid_mesh_equals_local_mesh(self) -> None:
+        from tiatoolbox_tpu.parallel import get_hybrid_data_mesh
+
+        mesh = get_hybrid_data_mesh()
+        assert mesh.axis_names == ("data",)
+        assert mesh.size == get_data_mesh().size
+
+    def test_shard_batch_multihost_single_process(self) -> None:
+        from tiatoolbox_tpu.parallel import shard_batch_multihost
+
+        batch = np.random.default_rng(3).random((16, 4)).astype(np.float32)
+        arr = shard_batch_multihost(batch)
+        assert np.allclose(np.asarray(arr), batch)
+        shapes = {s.data.shape for s in arr.addressable_shards}
+        assert shapes == {(16 // get_data_mesh().size, 4)}
+
+
 class TestDataParallelSegmentor:
     def test_dp_semantic_segmentor(self, tmp_path) -> None:
         from tiatoolbox_tpu.data.synth import make_synthetic_slide

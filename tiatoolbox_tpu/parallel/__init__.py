@@ -8,7 +8,10 @@ fed by a threaded double-buffered host loader.
 
 from tiatoolbox_tpu.parallel.mesh import (  # noqa: F401
     get_data_mesh,
+    get_hybrid_data_mesh,
+    initialize_multihost,
     pad_to_multiple,
     shard_batch,
+    shard_batch_multihost,
 )
 from tiatoolbox_tpu.parallel.pipeline import BatchLoader  # noqa: F401

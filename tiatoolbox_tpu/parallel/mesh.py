@@ -65,3 +65,76 @@ def shard_model_variables(variables, mesh: Mesh | None = None):
         mesh = get_data_mesh()
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), variables)
+
+
+# -- multi-host (DCN) -----------------------------------------------------------
+#
+# Data-parallel inference scales past one host without new collectives:
+# weights are replicated, the batch axis is sharded, and each process
+# feeds only its addressable shards. The mesh is laid out DCN-outer /
+# ICI-inner so any collective XLA does insert (e.g. a global metric
+# reduction) runs its fast inner steps over ICI and crosses DCN once.
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialise JAX's distributed runtime for a multi-host slice.
+
+    Call once per process before any backend use. A no-op (returns
+    False) when single-process: TPU pod runtimes auto-discover their
+    topology, so all arguments may be None there.
+    """
+    if num_processes in (None, 1) and coordinator_address is None:
+        if jax.process_count() <= 1:
+            return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def get_hybrid_data_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D "data" mesh ordered DCN-outer (host-major), ICI-inner.
+
+    On a single host this equals :func:`get_data_mesh`. On a multi-host
+    slice, devices are grouped so each process's addressable devices
+    are contiguous along the batch axis — per-host batch shards stay
+    host-local (no DCN traffic on the data path) and any inserted
+    collective reduces over ICI first.
+    """
+    if jax.process_count() <= 1:
+        return get_data_mesh(n_devices)
+    from jax.experimental import mesh_utils
+
+    per_host = len(jax.local_devices())
+    hosts = jax.process_count()
+    hybrid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, per_host),
+        dcn_mesh_shape=(hosts, 1),
+    )
+    devices = hybrid.reshape(-1)
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, axis_names=("data",))
+
+
+def shard_batch_multihost(local_batch: np.ndarray, mesh: Mesh | None = None):
+    """Global sharded array from this process's LOCAL batch slice.
+
+    Each host reads/stages only its own patches (batch axis length =
+    global_batch / process_count); the returned global array addresses
+    every host's shards. Single-process, this equals
+    :func:`shard_batch`.
+    """
+    if mesh is None:
+        mesh = get_hybrid_data_mesh()
+    if jax.process_count() <= 1:
+        return shard_batch(local_batch, mesh)
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), np.ascontiguousarray(local_batch)
+    )
