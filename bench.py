@@ -354,8 +354,13 @@ def bench_semantic_segmentor() -> dict:
         save_resolution={"units": "mpp", "resolution": 1.0},
     )
     seg = SemanticSegmentor(model, batch_size=32, num_loader_workers=0)
-    out = seg.run(  # warm run compiles the programs
-        [slide_path],
+    # Warm on a small slide: the expensive compile (batch-32 forward) is
+    # shape-keyed, not slide-keyed; only the cheap scatter program
+    # recompiles at the big canvas shape during the timed run.
+    warm_slide = f"/tmp/bench_seg_warm_{os.getpid()}.tiff"
+    make_synthetic_slide(warm_slide, size=(1024, 768), mpp=0.5, objective_power=20)
+    seg.run(
+        [warm_slide],
         patch_mode=False,
         ioconfig=ioconfig,
         auto_get_mask=False,
@@ -386,12 +391,15 @@ def bench_multitask_segmentor() -> dict:
     from tiatoolbox_tpu.models.engine.multi_task_segmentor import MultiTaskSegmentor
 
     slide_path = f"/tmp/bench_mts_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(2048, 1536), mpp=0.25, objective_power=40)
+    make_synthetic_slide(slide_path, size=(1536, 1024), mpp=0.25, objective_power=40)
     model, ioconfig = get_pretrained_model("hovernet_fast-pannuke")
     model.optimize_for_inference()
     seg = MultiTaskSegmentor(model, batch_size=16, num_loader_workers=0)
-    out = seg.run(  # warm run compiles
-        [slide_path],
+    # warm on a small slide (forward compile is shape-keyed)
+    warm_slide = f"/tmp/bench_mts_warm_{os.getpid()}.tiff"
+    make_synthetic_slide(warm_slide, size=(512, 384), mpp=0.25, objective_power=40)
+    seg.run(
+        [warm_slide],
         patch_mode=False,
         ioconfig=ioconfig,
         auto_get_mask=False,
@@ -408,7 +416,7 @@ def bench_multitask_segmentor() -> dict:
     elapsed = time.perf_counter() - t0
     result = next(iter(out.values()))
     n_inst = len(result.get("instances", result))
-    mpix = 2048 * 1536 / 1e6
+    mpix = 1536 * 1024 / 1e6
     return {
         "mpix_per_sec": mpix / elapsed,
         "instances": n_inst,

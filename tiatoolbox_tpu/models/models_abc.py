@@ -86,11 +86,26 @@ class ModelABC:
     # -- weights ---------------------------------------------------------------
 
     def init(self, rng_key=None, input_shape=(1, 224, 224, 3)) -> None:
-        """Initialize random weights (for tests / untrained use)."""
+        """Initialize random weights (for tests / untrained use).
+
+        Runs on the host CPU backend when one is available: the init
+        program for a large graph takes minutes to compile on a
+        remote-attached accelerator, while the weights themselves are
+        tiny and transfer on first use. The serving-path compile (the
+        forward at the run batch shape) is unaffected.
+        """
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         dummy = jnp.zeros(input_shape, self.compute_dtype)
-        self.variables = self.module.init(rng_key, dummy)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                self.variables = self.module.init(rng_key, dummy)
+        else:
+            self.variables = self.module.init(rng_key, dummy)
 
     def load_weights(self, variables: dict) -> None:
         """Attach a flax variables dict (e.g. from the torch converter)."""
