@@ -292,11 +292,22 @@ class ModelABC:
 
         Engines dispatch batch N+1 while batch N computes: the host→HBM
         copy of the next batch overlaps the current forward (JAX async
-        dispatch), and compact outputs are fetched at the end. Default
-        falls back to the synchronous path for architectures whose
-        ``infer_batch`` does host-side work.
+        dispatch), and outputs are fetched by the caller at its chosen
+        dtype. Architectures following the ``_jitted_infer`` convention
+        (one jitted program, fetched in ``infer_batch``) get the device
+        path for free; anything else falls back to the synchronous
+        fetch.
         """
-        return cls.infer_batch(model, batch_data, device)
+        jitted = getattr(model, "_jitted_infer", None)
+        if jitted is None and hasattr(model, "_jitted_infer"):
+            # build the program via the arch's own infer_batch (the
+            # engines' single-sample channel probe usually already did)
+            cls.infer_batch(model, np.asarray(batch_data)[:1], device)
+            jitted = getattr(model, "_jitted_infer", None)
+        if jitted is None:
+            return cls.infer_batch(model, batch_data, device)
+        batch = jnp.asarray(batch_data).astype(model.compute_dtype)
+        return jitted(model.variables, batch)
 
 
 def model_to(model: ModelABC, device: str | None = None) -> ModelABC:  # noqa: ARG001
