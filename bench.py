@@ -485,6 +485,16 @@ def main() -> None:
         "mfu": round(pp["mfu"], 3),
         "stainnorm_mpix_per_sec": _r(sn["mpix_per_sec"]),
         "stainnorm_kernel_mpix_per_sec": _r(sn["kernel_mpix_per_sec"]),
+        # e2e stain norm moves 3 B/px up AND 3 B/px back (uint8 RGB both
+        # ways): its ceiling on this link is link/6 MPix/s.
+        "stainnorm_link_ceiling_mpix_per_sec": _r(
+            link_sus / 6.0 if link_sus else None
+        ),
+        "stainnorm_link_efficiency": (
+            _r(sn["mpix_per_sec"] / (link_sus / 6.0), 3)
+            if link_sus and sn["mpix_per_sec"]
+            else None
+        ),
         "semantic_seg_e2e_mpix_per_sec": _r(seg["mpix_per_sec"]),
         "hovernet_e2e_mpix_per_sec": _r(mts["mpix_per_sec"]),
         "hovernet_instances_per_sec": _r(mts["instances_per_sec"]),
