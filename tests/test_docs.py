@@ -36,6 +36,38 @@ def test_module_imports(module_name) -> None:
     sorted(PACKAGE_ROOT.rglob("*.py")),
     ids=lambda p: str(p.relative_to(PACKAGE_ROOT)),
 )
+def test_docstring_examples_parse(py_file: Path) -> None:
+    """Every ``>>>`` example in every docstring must be valid Python
+    (reference ``tests/test_docs.py:36`` doctest-parses the tree)."""
+    import doctest
+
+    tree = ast.parse(py_file.read_text())
+    parser = doctest.DocTestParser()
+    nodes = [tree, *ast.walk(tree)]
+    for node in nodes:
+        if not isinstance(
+            node,
+            (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+        ):
+            continue
+        doc = ast.get_docstring(node)
+        if not doc or ">>>" not in doc:
+            continue
+        examples = parser.get_examples(doc)
+        assert examples, f"{py_file.name}: unparseable doctest block"
+        source = "".join(ex.source for ex in examples)
+        try:
+            ast.parse(source)
+        except SyntaxError as exc:  # pragma: no cover - failure detail
+            msg = f"{py_file.name}: invalid docstring example: {exc}"
+            raise AssertionError(msg) from exc
+
+
+@pytest.mark.parametrize(
+    "py_file",
+    sorted(PACKAGE_ROOT.rglob("*.py")),
+    ids=lambda p: str(p.relative_to(PACKAGE_ROOT)),
+)
 def test_docstrings_present(py_file: Path) -> None:
     tree = ast.parse(py_file.read_text())
     assert ast.get_docstring(tree), f"{py_file} missing module docstring"
