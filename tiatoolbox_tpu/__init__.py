@@ -117,7 +117,36 @@ rcParam: dict = {
     "pretrained_model_info": None,  # lazily loaded registry dict
     "compute_dtype": "auto",  # "auto" = bfloat16 on TPU, float32 elsewhere
     "torch_compile_mode": "default",  # API parity; XLA jit is inherent
+    # Persistent XLA compilation cache (first compile of a big program
+    # on a remote-attached chip is 30-90 s; cached reloads are ~ms).
+    # OPT-IN via TIATOOLBOX_TPU_JAX_CACHE=<dir>: XLA:CPU AOT entries
+    # embed host machine-feature fingerprints and reload across
+    # differently-configured processes with SIGILL-risk warnings, so
+    # sharing a cache dir is only safe on a stable host.
+    "jax_cache_dir": os.environ.get("TIATOOLBOX_TPU_JAX_CACHE", ""),
 }
+
+
+def _enable_jax_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at rcParam["jax_cache_dir"].
+
+    Called lazily by ModelABC/engine setup (importing jax at package
+    import would force backend init). Safe to call repeatedly.
+    """
+    cache_dir = rcParam.get("jax_cache_dir")
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir != str(cache_dir):
+            Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            # cache every program, however fast its compile
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        logger.debug("Could not enable the JAX compilation cache.")
 
 
 def _get_pretrained_info() -> dict:

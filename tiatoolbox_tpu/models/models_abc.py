@@ -38,6 +38,9 @@ class ModelABC:
         variables: dict | None = None,
         compute_dtype=jnp.float32,
     ) -> None:
+        from tiatoolbox_tpu import _enable_jax_compilation_cache
+
+        _enable_jax_compilation_cache()
         self.module = module
         self.variables = variables
         self.compute_dtype = compute_dtype
