@@ -36,8 +36,9 @@ def is_tiff(path) -> bool:
 
 
 def is_jp2(path) -> bool:
-    """True if the file is a JPEG-2000 JP2 container."""
-    return _read_head(path, 12)[4:12] == b"jP  \r\n\x87\n"
+    """True for a JPEG-2000 JP2 container or raw J2K codestream."""
+    head = _read_head(path, 12)
+    return head[4:12] == b"jP  \r\n\x87\n" or head[:4] == b"\xff\x4f\xff\x51"
 
 
 def is_png(path) -> bool:
