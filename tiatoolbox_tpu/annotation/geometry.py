@@ -661,20 +661,11 @@ def wkt_to_geometry(wkt: str) -> Geometry:
         )
     if name == "MULTIPOLYGON":
         polys = []
-        depth = 0
-        start = None
-        for i, ch in enumerate(body):
-            if ch == "(":
-                depth += 1
-                if depth == 2:
-                    start = i
-            elif ch == ")":
-                if depth == 2:
-                    rings = _split_rings(body[start : i + 1])
-                    polys.append(
-                        Polygon(parse_ring(rings[0]), [parse_ring(r) for r in rings[1:]])
-                    )
-                depth -= 1
+        for group in _depth2_groups(body):
+            rings = _split_rings(group)
+            polys.append(
+                Polygon(parse_ring(rings[0]), [parse_ring(r) for r in rings[1:]])
+            )
         return MultiPolygon(polys)
     msg = f"Unsupported WKT type: {name}"
     raise ValueError(msg)
@@ -698,18 +689,7 @@ def _depth2_groups(body: str) -> list[str]:
 
 
 def _split_rings(body: str) -> list[str]:
-    rings = []
-    depth = 0
-    start = None
-    for i, ch in enumerate(body):
-        if ch == "(":
-            depth += 1
-            if depth == 2:
-                start = i
-        elif ch == ")":
-            if depth == 2:
-                rings.append(body[start : i + 1])
-            depth -= 1
+    rings = _depth2_groups(body)
     if not rings:  # single ring at depth 1: POLYGON ((..)) already depth2; fallback
         rings = [body]
     return rings

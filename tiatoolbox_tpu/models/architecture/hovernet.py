@@ -234,6 +234,21 @@ class HoVerNet(ModelABC):
     # -- inference -----------------------------------------------------------------
 
     @staticmethod
+    def _head_outputs(pred: dict) -> dict:
+        """Fused head math shared by HoVerNet-family programs:
+        softmax np → foreground prob, hv passthrough, tp argmax."""
+        out = {}
+        np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
+        out["np"] = np_probs[..., 1:]
+        out["hv"] = pred["hv"].astype(jnp.float32)
+        if "tp" in pred:
+            tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
+            out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(
+                jnp.float32
+            )
+        return out
+
+    @staticmethod
     def _ensure_jitted_infer(model: "HoVerNet") -> None:
         if model._jitted_infer is not None:
             return
@@ -241,17 +256,7 @@ class HoVerNet(ModelABC):
 
         @jax.jit
         def _run(variables, x):
-            pred = module.apply(variables, x)
-            out = {}
-            np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
-            out["np"] = np_probs[..., 1:]
-            out["hv"] = pred["hv"].astype(jnp.float32)
-            if "tp" in pred:
-                tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
-                out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(
-                    jnp.float32
-                )
-            return out
+            return HoVerNet._head_outputs(module.apply(variables, x))
 
         model._jitted_infer = _run
 

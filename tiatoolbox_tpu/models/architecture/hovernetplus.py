@@ -111,12 +111,7 @@ class HoVerNetPlus(HoVerNet):
         @jax.jit
         def _run(variables, x):
             pred = module.apply(variables, x)
-            out = {}
-            np_probs = jax.nn.softmax(pred["np"].astype(jnp.float32), axis=-1)
-            out["np"] = np_probs[..., 1:]
-            out["hv"] = pred["hv"].astype(jnp.float32)
-            tp = jax.nn.softmax(pred["tp"].astype(jnp.float32), axis=-1)
-            out["tp"] = jnp.argmax(tp, axis=-1, keepdims=True).astype(jnp.float32)
+            out = HoVerNet._head_outputs(pred)  # np/hv/tp (shared)
             ls = jax.nn.softmax(pred["ls"].astype(jnp.float32), axis=-1)
             out["ls"] = jnp.argmax(ls, axis=-1, keepdims=True).astype(jnp.float32)
             return out

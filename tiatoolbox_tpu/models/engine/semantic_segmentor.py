@@ -132,14 +132,25 @@ class SemanticSegmentor(EngineABC):
         )
         coord_scale = np.array(canvas_wh, dtype=float) / read_wh
 
-        n_channels = self._infer_output_channels(dataset)
+        # ONE single-sample probe learns the model's output patch shape
+        # and channel count (each probe costs a decode + a device
+        # round-trip — the eligibility check and both stitch paths
+        # reuse this result).
+        probe = np.asarray(
+            self.model.infer_batch(
+                self.model, dataset[0]["image"][None], self.device
+            )
+        )
+        n_channels = int(probe.shape[-1])
 
         # Device-resident stitching when the canvas comfortably fits HBM
         # and the grid is uniform (one scatter program, no host copies
         # of probability patches).
-        if self._can_use_device_canvas(dataset, canvas_wh, n_channels, coord_scale):
+        if self._can_use_device_canvas(
+            dataset, canvas_wh, n_channels, coord_scale, probe=probe
+        ):
             return self._infer_wsi_device_canvas(
-                dataloader, canvas_wh, n_channels, coord_scale
+                dataloader, canvas_wh, n_channels, coord_scale, probe=probe
             )
 
         canvas = create_smart_array(
@@ -158,6 +169,17 @@ class SemanticSegmentor(EngineABC):
         )
 
         outputs_arr = dataset.outputs
+        # Full (unclipped) cell size in canvas space: edge cells only
+        # ever shrink, so the max over the grid is the interior size.
+        # Edge patches resize to THIS size (when the model's output
+        # scale differs) and are then cropped — never squashed into the
+        # clipped extent.
+        all_sizes = np.round(
+            (outputs_arr[:, 2:] - outputs_arr[:, :2]).astype(float)
+            * np.asarray(coord_scale)
+        ).astype(int)
+        full_w = int(all_sizes[:, 0].max())
+        full_h = int(all_sizes[:, 1].max())
         # Staged host→HBM copies overlap the forwards; the fetch dtype
         # follows canvas_wire_dtype (f16 halves device→host bytes, the
         # binding term for probability maps on slow links).
@@ -189,20 +211,18 @@ class SemanticSegmentor(EngineABC):
                 ).round().astype(int)
                 patch = probs[i]
                 ph, pw = patch.shape[:2]
-                # cell size differs from the model output: boundary-
-                # clipped cells are CROPPED (reference merge semantics,
-                # and what the device-canvas path does); cells at a
-                # different output scale are resized.
                 if (y1 - y0, x1 - x0) != (ph, pw) and (y1 - y0) > 0 and (x1 - x0) > 0:
-                    touches_edge = x1 >= canvas_wh[0] or y1 >= canvas_wh[1]
-                    if touches_edge and (x1 - x0) <= pw and (y1 - y0) <= ph:
-                        patch = patch[: y1 - y0, : x1 - x0]
-                    else:
+                    if (ph, pw) != (full_h, full_w):
+                        # model output scale differs from the canvas
+                        # grid: resize to the FULL cell size first
                         from tiatoolbox_tpu.utils.transforms import imresize
 
-                        patch = imresize(patch, output_size=(x1 - x0, y1 - y0))
+                        patch = imresize(patch, output_size=(full_w, full_h))
                         if patch.ndim == 2:
                             patch = patch[:, :, None]
+                    # boundary-clipped cells are then CROPPED (reference
+                    # merge semantics; matches the device-canvas path)
+                    patch = patch[: y1 - y0, : x1 - x0]
                     ph, pw = patch.shape[:2]
                 # clip to canvas
                 cx1, cy1 = min(x1, canvas_wh[0]), min(y1, canvas_wh[1])
@@ -239,7 +259,7 @@ class SemanticSegmentor(EngineABC):
             return self.DEVICE_CANVAS_MAX_PIXELS * 16
 
     def _can_use_device_canvas(
-        self, dataset, canvas_wh, n_channels: int, coord_scale
+        self, dataset, canvas_wh, n_channels: int, coord_scale, probe=None
     ) -> bool:
         if getattr(self.model, "mesh", None) is not None:
             return False  # dp runs keep host stitching for now
@@ -252,8 +272,9 @@ class SemanticSegmentor(EngineABC):
         # the scatter targets a padded canvas that is cropped (on
         # device) before the fetch, so the out-of-slide remainder of an
         # edge patch never reaches the host.
-        sample = dataset[0]["image"]
-        probe = self.model.infer_batch(self.model, sample[None], self.device)
+        if probe is None:
+            sample = dataset[0]["image"]
+            probe = self.model.infer_batch(self.model, sample[None], self.device)
         probe = np.asarray(probe)
         ph, pw = probe.shape[1:3]
         cells = dataset.outputs.astype(float) * np.tile(coord_scale, 2)
@@ -267,7 +288,8 @@ class SemanticSegmentor(EngineABC):
         return bool(np.all(full | clipped_ok))
 
     def _infer_wsi_device_canvas(
-        self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale
+        self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale,
+        probe=None,
     ) -> dict:
         """Stitch on device: scatter-accumulate each batch in HBM."""
         from tiatoolbox_tpu.ops.canvas import DeviceCanvas
@@ -276,10 +298,11 @@ class SemanticSegmentor(EngineABC):
         outputs_arr = dataset.outputs
         # Padded canvas: edge patches scatter past the slide boundary;
         # the pad region is cropped ON DEVICE before the fetch.
-        sample = dataset[0]["image"]
-        probe = np.asarray(
-            self.model.infer_batch(self.model, sample[None], self.device)
-        )
+        if probe is None:
+            probe = self.model.infer_batch(
+                self.model, dataset[0]["image"][None], self.device
+            )
+        probe = np.asarray(probe)
         ph, pw = probe.shape[1:3]
         starts = np.round(
             outputs_arr[:, :2].astype(float) * coord_scale
@@ -314,14 +337,6 @@ class SemanticSegmentor(EngineABC):
             fetched = np.asarray(canvas.normalized(jnp.float16)[:h, :w])
             return {"probabilities": fetched.astype(np.float32)}
         return {"probabilities": np.asarray(canvas.normalized()[:h, :w])}
-
-    def _infer_output_channels(self, dataset: WSIPatchDataset) -> int:
-        """Probe the model with one patch to learn output channel count."""
-        sample = dataset[0]["image"]
-        probe = self.model.infer_batch(
-            self.model, sample[None].astype(np.uint8), self.device
-        )
-        return int(np.asarray(probe).shape[-1])
 
     # -- postproc/save ----------------------------------------------------------------
 

@@ -97,18 +97,23 @@ class ModelABC:
         tiny and transfer on first use. The serving-path compile (the
         forward at the run batch shape) is unaffected.
         """
-        if rng_key is None:
-            rng_key = jax.random.PRNGKey(0)
-        dummy = jnp.zeros(input_shape, self.compute_dtype)
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
+
+        def _init():
+            key = jax.random.PRNGKey(0) if rng_key is None else rng_key
+            dummy = jnp.zeros(input_shape, self.compute_dtype)
+            return self.module.init(key, dummy)
+
         if cpu is not None and jax.default_backend() != "cpu":
+            # key + dummy creation stay inside the context too — else
+            # they dispatch (tiny, but remote) accelerator programs
             with jax.default_device(cpu):
-                self.variables = self.module.init(rng_key, dummy)
+                self.variables = _init()
         else:
-            self.variables = self.module.init(rng_key, dummy)
+            self.variables = _init()
 
     def load_weights(self, variables: dict) -> None:
         """Attach a flax variables dict (e.g. from the torch converter)."""
@@ -304,8 +309,10 @@ class ModelABC:
         jitted = getattr(model, "_jitted_infer", None)
         if jitted is None and hasattr(model, "_jitted_infer"):
             # build the program via the arch's own infer_batch (the
-            # engines' single-sample channel probe usually already did)
-            cls.infer_batch(model, np.asarray(batch_data)[:1], device)
+            # engines' single-sample probe usually already did); slice
+            # the batch in place — works for device arrays too, without
+            # fetching the whole batch back to host
+            cls.infer_batch(model, batch_data[:1], device)
             jitted = getattr(model, "_jitted_infer", None)
         if jitted is None:
             return cls.infer_batch(model, batch_data, device)

@@ -87,8 +87,26 @@ def initialize_multihost(
     False) when single-process: TPU pod runtimes auto-discover their
     topology, so all arguments may be None there.
     """
-    if num_processes in (None, 1) and coordinator_address is None:
-        if jax.process_count() <= 1:
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+    ):
+        # Decide from the environment WITHOUT touching the jax backend
+        # (jax.process_count() would initialise it, after which
+        # jax.distributed.initialize() refuses to run).
+        import os
+
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        pod_env = any(
+            os.environ.get(key)
+            for key in (
+                "COORDINATOR_ADDRESS",
+                "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+            )
+        ) or len([h for h in workers.split(",") if h.strip()]) > 1
+        if not pod_env:
             return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -109,6 +127,12 @@ def get_hybrid_data_mesh(n_devices: int | None = None) -> Mesh:
     """
     if jax.process_count() <= 1:
         return get_data_mesh(n_devices)
+    if n_devices is not None:
+        # Truncating a multi-host mesh would drop some processes'
+        # devices — their local shards would have no home and
+        # make_array_from_process_local_data diverges across hosts.
+        msg = "n_devices cannot be used with a multi-host mesh."
+        raise ValueError(msg)
     from jax.experimental import mesh_utils
 
     per_host = len(jax.local_devices())
@@ -117,10 +141,7 @@ def get_hybrid_data_mesh(n_devices: int | None = None) -> Mesh:
         mesh_shape=(1, per_host),
         dcn_mesh_shape=(hosts, 1),
     )
-    devices = hybrid.reshape(-1)
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(devices, axis_names=("data",))
+    return Mesh(hybrid.reshape(-1), axis_names=("data",))
 
 
 def shard_batch_multihost(local_batch: np.ndarray, mesh: Mesh | None = None):

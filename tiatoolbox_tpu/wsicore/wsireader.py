@@ -720,7 +720,10 @@ class VirtualWSIReader(WSIReader):
             if self.post_proc is not None:
                 region = self.post_proc(region)
             return background_composite(region, alpha=False)
-        return region
+        # contiguity contract: mask/feature modes can return slice
+        # views of self.img — copy so callers can't mutate the backing
+        # image (and C-order matches every other reader)
+        return np.ascontiguousarray(region)
 
     def read_bounds(
         self,
