@@ -379,7 +379,38 @@ def bench_semantic_segmentor() -> dict:
     elapsed = time.perf_counter() - t0
     probs = np.asarray(next(iter(out.values()))["probabilities"])
     mpix = 4096 * 3072 / 1e6  # slide pixels processed (map is half-res)
-    return {"mpix_per_sec": mpix / elapsed, "map_shape": list(probs.shape)}
+
+    # Device-plane rate (link-invariant): N forwards chained in ONE
+    # program, scalar-forced — the e2e number above rides the tunnel's
+    # wandering drain rate, this one does not.
+    import jax
+
+    x = jax.device_put(
+        np.random.randint(0, 255, (32, 256, 256, 3), np.uint8)
+    )
+    module, variables = model.module, model.variables
+    n_iter = 10
+
+    @jax.jit
+    def chain(x0):
+        def body(_, carry):
+            xc, acc = carry
+            logits = module.apply(variables, xc.astype(jnp.bfloat16) / 255.0)
+            xc = xc + (acc > 2.0).astype(jnp.uint8)
+            return (xc, jnp.sum(logits).astype(jnp.float32))
+
+        _, out = jax.lax.fori_loop(0, n_iter, body, (x0, jnp.float32(0)))
+        return out
+
+    np.asarray(chain(x))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(chain(x))
+    dev_mpix = 32 * n_iter * 256 * 256 / 1e6 / (time.perf_counter() - t0)
+    return {
+        "mpix_per_sec": mpix / elapsed,
+        "device_mpix_per_sec": dev_mpix,
+        "map_shape": list(probs.shape),
+    }
 
 
 def bench_multitask_segmentor() -> dict:
@@ -496,6 +527,7 @@ def main() -> None:
             else None
         ),
         "semantic_seg_e2e_mpix_per_sec": _r(seg["mpix_per_sec"]),
+        "semantic_seg_device_mpix_per_sec": _r(seg.get("device_mpix_per_sec")),
         "hovernet_e2e_mpix_per_sec": _r(mts["mpix_per_sec"]),
         "hovernet_instances_per_sec": _r(mts["instances_per_sec"]),
         "n_patches": pp["n_patches"],
