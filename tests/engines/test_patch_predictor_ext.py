@@ -134,6 +134,33 @@ class TestSavedOutputs:
         con.close()
         assert n == 6
 
+    def test_annotationstore_extents_with_yuv_wire(
+        self, patches, tmp_path
+    ) -> None:
+        """Patch extents must come from the true patch shape, not the
+        yuv420-packed plane array ([B, H*3/2, W])."""
+        model = CNNModel("resnet18", num_classes=3)
+        model.init(input_shape=(1, 64, 64, 3))
+        model.wire_format = "yuv420"
+        predictor = PatchPredictor(
+            model, batch_size=4, num_loader_workers=0, verbose=False
+        )
+        path = predictor.run(
+            patches,
+            patch_mode=True,
+            output_type="annotationstore",
+            save_dir=tmp_path / "yuv",
+        )
+        con = sqlite3.connect(path)
+        rows = con.execute(
+            "SELECT max_x - min_x, max_y - min_y FROM rtree"
+        ).fetchall()
+        con.close()
+        assert rows
+        for w, h in rows:
+            assert round(w) == 64
+            assert round(h) == 64  # was 96 when read from packed planes
+
     def test_qupath_output(self, predictor, patches, tmp_path) -> None:
         import json
 

@@ -54,6 +54,11 @@ EXPRESSIONS = [
     ('props["i"] / 2 == 1', {"k2"}),
     ('props["i"] // 2 == 1', {"k2", "k3"}),
     ('props["i"] % 2 == 0', {"k0", "k2"}),
+    # negative operands: sqlite truncates `/` and `%` toward zero while
+    # python floors — the SQL compiler must emit python semantics
+    ('(props["i"] - 7) // 2 == -4', {"k0"}),
+    ('(props["i"] - 7) % 2 == 1', {"k0", "k2"}),
+    ('(7 - props["i"]) % -2 == -1', {"k0", "k2"}),
     ('props["i"] ** 2 == 9', {"k3"}),
     ('props["prob"] > 0.5', {"k1", "k2"}),
     ('props["prob"] >= 0.6', {"k1", "k2"}),

@@ -77,6 +77,45 @@ class TestStatsRoute:
     def test_missing_prop(self, served) -> None:
         assert _get(served, "/tileserver/prop_stats/nope")["stats"] is None
 
+    def test_bool_property_is_categorical(self, tmp_path) -> None:
+        from tiatoolbox_tpu.visualization.tileserver import TileServer
+
+        slide = tmp_path / "s1.tiff"
+        make_synthetic_slide(slide, size=(256, 192), mpp=0.5)
+        store = SQLiteStore()
+        for i in range(6):
+            store.append(
+                Annotation(Point(i * 10, 10).buffer(2), {"flag": i % 2 == 0})
+            )
+        server = TileServer(layers={"slide": str(slide)})
+        server.add_layer("overlay", store)
+        httpd, port = server.run_in_thread()
+        try:
+            stats = _get(port, "/tileserver/prop_stats/flag")["stats"]
+            assert stats["kind"] == "categorical"
+            assert stats["value_counts"] == {"True": 3, "False": 3}
+        finally:
+            httpd.shutdown()
+
+    def test_nan_values_excluded_from_histogram(self, tmp_path) -> None:
+        from tiatoolbox_tpu.visualization.tileserver import TileServer
+
+        slide = tmp_path / "s2.tiff"
+        make_synthetic_slide(slide, size=(256, 192), mpp=0.5)
+        store = SQLiteStore()
+        vals = [0.25, float("nan"), 0.75, float("nan")]
+        for i, v in enumerate(vals):
+            store.append(Annotation(Point(i * 10, 10).buffer(2), {"p": v}))
+        server = TileServer(layers={"slide": str(slide)})
+        server.add_layer("overlay", store)
+        httpd, port = server.run_in_thread()
+        try:
+            stats = _get(port, "/tileserver/prop_stats/p")["stats"]
+            assert stats["kind"] == "numeric"
+            assert sum(stats["hist"]) == 2  # NaNs dropped, no 500
+        finally:
+            httpd.shutdown()
+
 
 class TestPredicateFilter:
     def test_where_filters_rendered_annotations(self, served) -> None:

@@ -77,13 +77,21 @@ class SQLExpr:
         return _Bin(_Bin(other, "*", 1.0), "/", self)
 
     def __floordiv__(self, other):
-        return _Func("FLOOR", _Bin(self, "/", other))
+        # real division first: sqlite int `/` truncates toward zero,
+        # which disagrees with python floor division for negatives
+        return _Func("FLOOR", _Bin(_Bin(self, "*", 1.0), "/", other))
 
     def __rfloordiv__(self, other):
-        return _Func("FLOOR", _Bin(other, "/", self))
+        return _Func("FLOOR", _Bin(_Bin(other, "*", 1.0), "/", self))
 
     def __mod__(self, other):
-        return _Bin(self, "%", other)
+        # python modulo takes the divisor's sign; sqlite `%` truncates.
+        # ((a % b) + b) % b maps truncated remainders onto python's.
+        inner = _Bin(_Bin(_Bin(self, "%", other), "+", other), "%", other)
+        return inner
+
+    def __rmod__(self, other):
+        return _Bin(_Bin(_Bin(other, "%", self), "+", self), "%", self)
 
     def __pow__(self, other):
         return _Func("POWER", self, other)

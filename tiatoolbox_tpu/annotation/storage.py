@@ -639,6 +639,11 @@ class SQLiteStore(AnnotationStore):
         con.create_function(
             "GET_AREA", 1, lambda blob: wkb_to_geometry(zlib.decompress(blob)).area
         )
+        # python truthiness in one evaluation (NULL/0/'' are falsy;
+        # non-empty strings truthy — strings never equal numbers here)
+        con.create_function(
+            "TRUTHY", 1, lambda v: int(v is not None and v != 0 and v != "")
+        )
 
     # -- serialization -----------------------------------------------------------------
 
@@ -777,15 +782,11 @@ class SQLiteStore(AnnotationStore):
             fragment = eval(  # noqa: S307
                 where, dict(dsl.SQL_GLOBALS), {}
             )
-            # python-truthiness at the boundary: expressions may return
-            # NULL (no regex match / missing key), 0, or a string — only
-            # NULL, 0, and '' are falsy (strings never compare equal to
-            # numbers in sqlite, so "x != 0" is true for any string)
-            sql = f"({fragment})"
-            clause = (
-                f"AND ({sql} IS NOT NULL AND {sql} != 0 AND {sql} != '')"
-            )
-            return clause, False
+            # python-truthiness at the boundary via the TRUTHY UDF
+            # (NULL / 0 / '' falsy): evaluates the compiled fragment —
+            # which may invoke python UDFs like REGEXP — exactly ONCE
+            # per row
+            return f"AND TRUTHY(({fragment}))", False
         except Exception:  # fall back to python filtering
             logger.warning("Could not compile where to SQL; filtering in Python.")
             return "", True

@@ -200,7 +200,21 @@ def torch_vit_to_flax(state_dict: dict, num_heads: int | None = None) -> dict:
 
 
 def _infer_vit_heads(sd: dict, dim: int) -> int:
-    """Head count by published dim convention (64-dim heads)."""
+    """Head count from the known foundation-encoder configs.
+
+    64-dim heads are the torchvision/timm default, but the pathology
+    encoders deviate (Virchow/Virchow2: embed 1280 with 16 heads of
+    dim 80) — match the checkpoint's (embed_dim, depth) against the
+    published configs first, falling back to the 64-dim convention.
+    """
+    from tiatoolbox_tpu.models.architecture.vit import VIT_CONFIGS
+
+    depth = sum(
+        1 for k in sd if k.startswith("blocks.") and k.endswith(".attn.qkv.weight")
+    )
+    for cfg in VIT_CONFIGS.values():
+        if cfg["embed_dim"] == dim and cfg["depth"] == depth:
+            return cfg["num_heads"]
     return max(1, dim // 64)
 
 
@@ -222,7 +236,10 @@ def convert_for_model(model, state_dict: dict) -> dict:
     """Pick the torch→flax converter matching the model architecture."""
     cls_name = type(model).__name__
     module_name = type(getattr(model, "module", None)).__name__
-    if module_name == "VGG16Features" or "features.28.weight" in state_dict:
+    if module_name == "VGG16Features":
+        # gate on the TARGET module, not the checkpoint: other
+        # sequential-features checkpoints (vgg19 etc.) also contain
+        # 'features.28.weight' but have different conv indices
         return torch_vgg_to_flax(state_dict)
     if module_name == "VisionTransformer" or (
         "patch_embed.proj.weight" in state_dict

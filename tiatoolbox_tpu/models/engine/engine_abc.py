@@ -309,9 +309,15 @@ class EngineABC(ABC):
                 else:
                     # Patch mode has no grid: each patch's coordinates are
                     # its own extent (reference engine_abc.py:482-502).
-                    h, w = np.asarray(batch["image"].shape)[1:3]
+                    # NOTE: the staged array may be yuv420-packed planes
+                    # [B, H*3/2, W] — recover the true patch extent.
+                    shape = batch["image"].shape
+                    if len(shape) == 3:  # packed planes
+                        h, w = int(shape[1] * 2 // 3), int(shape[2])
+                    else:
+                        h, w = int(shape[1]), int(shape[2])
                     coordinates.append(
-                        np.tile([0, 0, int(w), int(h)], (n_valid, 1))
+                        np.tile([0, 0, w, h], (n_valid, 1))
                     )
             if self.return_labels and "label" in batch:
                 labels.append(np.asarray(batch["label"])[:n_valid])

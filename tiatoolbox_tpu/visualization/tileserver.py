@@ -403,9 +403,18 @@ class TileServer:
         ]
         if not values:
             return {"stats": None}
-        numeric = [v for v in values if isinstance(v, (int, float))]
+        # bool is an int subclass but belongs in value counts, and
+        # non-finite floats would make np.histogram raise
+        numeric = [
+            v
+            for v in values
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        ]
         if len(numeric) == len(values):
             arr = np.asarray(numeric, float)
+            arr = arr[np.isfinite(arr)]
+            if arr.size == 0:
+                return {"stats": None}
             bins = int(params.get("bins", 20))
             hist, edges = np.histogram(arr, bins=bins)
             return {

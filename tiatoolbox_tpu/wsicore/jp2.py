@@ -354,7 +354,8 @@ def encode_tiled_j2k(
                 out += siz + main
                 first = False
             # tile-part: SOT + per-tile COD/QCD (+COM etc.) + SOD + data
-            lsot_fields = struct.unpack_from(">HHIBB", body, 2)
+            # (the SOT is rebuilt from scratch below — the original
+            # fields are not consulted)
             sod_index = body.find(b"\xff\x93")
             packet_data = body[sod_index:]
             tile_part_len = 12 + len(main) + len(packet_data)
