@@ -85,13 +85,14 @@ class SQLExpr:
         return _Func("FLOOR", _Bin(_Bin(other, "*", 1.0), "/", self))
 
     def __mod__(self, other):
-        # python modulo takes the divisor's sign; sqlite `%` truncates.
-        # ((a % b) + b) % b maps truncated remainders onto python's.
-        inner = _Bin(_Bin(_Bin(self, "%", other), "+", other), "%", other)
-        return inner
+        # python modulo takes the divisor's sign and works on floats;
+        # sqlite `%` truncates AND casts operands to INTEGER. Compile the
+        # definition directly: a - FLOOR(a/b)*b (real division), which is
+        # float-correct and sign-correct in one form.
+        return _mod_fragment(self, other)
 
     def __rmod__(self, other):
-        return _Bin(_Bin(_Bin(other, "%", self), "+", self), "%", self)
+        return _mod_fragment(other, self)
 
     def __pow__(self, other):
         return _Func("POWER", self, other)
@@ -170,6 +171,15 @@ class _Func(SQLExpr):
 
     def _sql(self) -> str:
         return f"{self.name}({', '.join(_fmt(a) for a in self.args)})"
+
+
+def _mod_fragment(a, b):
+    # a - FLOOR(a*1.0/b)*b: python float/sign semantics in one form, with
+    # each operand compiled into the fragment only twice (vs 3x for the
+    # ((a%b)+b)%b rewrite, which is also integer-only under sqlite's `%`).
+    return _Bin(
+        a, "-", _Bin(_Func("FLOOR", _Bin(_Bin(a, "*", 1.0), "/", b)), "*", b)
+    )
 
 
 class SQLJSONDictionary(SQLExpr):

@@ -106,10 +106,18 @@ class CNNModel(ModelABC):
 
         The stem swap changes the module, not the variables — the
         rewritten kernel is folded from the stock ``conv1/kernel`` at
-        trace time, so converted checkpoints load unchanged.
+        trace time, so converted checkpoints load unchanged. The swap is
+        gated on a reduced-precision ``compute_dtype``: under float32 the
+        whole call stays a bit-exact no-op (the s2d stem reassociates
+        the stem conv's additions, ~5e-4 output drift, and requires even
+        input H/W), so float32 parity runs keep the stock conv stem.
         """
         super().optimize_for_inference()
-        if _has_s2d_stem(self.backbone) and self.module.stem != "s2d":
+        if (
+            self.compute_dtype != jnp.float32
+            and _has_s2d_stem(self.backbone)
+            and self.module.stem != "s2d"
+        ):
             self.module = _CNNClassifier(
                 backbone=self.backbone, num_classes=self.num_classes, stem="s2d"
             )

@@ -137,11 +137,11 @@ class UMAP:
         # per-edge epoch scheduling as in umap-learn
         weights = graph.data
         heads, tails = graph.row, graph.col
+        # umap-learn's make_epochs_per_sample: an edge of weight w fires
+        # every max(w)/w epochs (strongest edges every epoch).
         epochs_per_sample = np.full(weights.shape, np.inf)
         mask = weights > 0
-        epochs_per_sample[mask] = n_epochs / (
-            weights[mask] / weights[mask].max()
-        )
+        epochs_per_sample[mask] = weights[mask].max() / weights[mask]
         epoch_of_next = epochs_per_sample.copy()
         neg_rate = self.negative_sample_rate
 

@@ -277,15 +277,21 @@ class J2KCodestream:
                 oy1 = min(gy1, _ty1)
                 if ox1 <= ox0 or oy1 <= oy0:
                     continue
-                # reduced-scale source and destination slices
-                sx0 = (ox0 - tx0) // reduce
-                sy0 = (oy0 - ty0) // reduce
-                dx0 = (ox0 - gx0) // reduce
-                dy0 = (oy0 - gy0) // reduce
-                sw = min(-(-(ox1 - ox0) // reduce), tile.shape[1] - sx0,
-                         out_w - dx0)
-                sh = min(-(-(oy1 - oy0) // reduce), tile.shape[0] - sy0,
-                         out_h - dy0)
+                # reduced-scale slices: output pixel d samples absolute
+                # position gx0 + d*reduce and is filled from the tile
+                # containing that position, so source and dest rounding
+                # share one grid — no 1-px seam misregistration when the
+                # window origin is not a multiple of `reduce`.
+                dx0 = max(-(-(ox0 - gx0) // reduce), 0)
+                dy0 = max(-(-(oy0 - gy0) // reduce), 0)
+                dx1 = min(-(-(ox1 - gx0) // reduce), out_w)
+                dy1 = min(-(-(oy1 - gy0) // reduce), out_h)
+                if dx1 <= dx0 or dy1 <= dy0:
+                    continue
+                sx0 = (gx0 + dx0 * reduce - tx0) // reduce
+                sy0 = (gy0 + dy0 * reduce - ty0) // reduce
+                sw = min(dx1 - dx0, tile.shape[1] - sx0)
+                sh = min(dy1 - dy0, tile.shape[0] - sy0)
                 if sw <= 0 or sh <= 0:
                     continue
                 out[dy0 : dy0 + sh, dx0 : dx0 + sw] = tile[
