@@ -373,13 +373,11 @@ def bench_semantic_segmentor() -> dict:
         save_resolution={"units": "mpp", "resolution": 1.0},
     )
     seg = SemanticSegmentor(model, batch_size=32, num_loader_workers=0)
-    # Warm on a small slide: the expensive compile (batch-32 forward) is
-    # shape-keyed, not slide-keyed; only the cheap scatter program
-    # recompiles at the big canvas shape during the timed run.
-    warm_slide = f"/tmp/bench_seg_warm_{os.getpid()}.tiff"
-    make_synthetic_slide(warm_slide, size=(1024, 768), mpp=0.5, objective_power=20)
+    # Warm on the SAME slide: every program in the path is shape-keyed
+    # (batch forward, band extract, canvas scatter) — a first run on the
+    # real geometry absorbs all compiles so the timed run is steady-state.
     seg.run(
-        [warm_slide],
+        [slide_path],
         patch_mode=False,
         ioconfig=ioconfig,
         auto_get_mask=False,
@@ -397,6 +395,7 @@ def bench_semantic_segmentor() -> dict:
     )
     elapsed = time.perf_counter() - t0
     probs = np.asarray(next(iter(out.values()))["probabilities"])
+    stages = seg.last_stage_summary  # which path engaged + per-stage time
     mpix = 4096 * 3072 / 1e6  # slide pixels processed (map is half-res)
 
     # Device-plane rate (link-invariant): N forwards chained in ONE
@@ -429,6 +428,7 @@ def bench_semantic_segmentor() -> dict:
         "mpix_per_sec": mpix / elapsed,
         "device_mpix_per_sec": dev_mpix,
         "map_shape": list(probs.shape),
+        "stages": stages,
     }
 
 
@@ -548,6 +548,7 @@ def main() -> None:
         ),
         "semantic_seg_e2e_mpix_per_sec": _r(seg["mpix_per_sec"]),
         "semantic_seg_device_mpix_per_sec": _r(seg.get("device_mpix_per_sec")),
+        "semantic_seg_stages": seg.get("stages"),
         "hovernet_e2e_mpix_per_sec": _r(mts["mpix_per_sec"]),
         "hovernet_instances_per_sec": _r(mts["instances_per_sec"]),
         "n_patches": pp["n_patches"],

@@ -189,3 +189,85 @@ class TestScaledOutputEdgeCells:
         assert np.abs(probs[:512, :768] - expected[:512, :768]).mean() < 0.05
         assert np.abs(probs[:, 768:798] - expected[:, 768:798]).mean() < 0.08
         assert np.abs(probs[512:518, :] - expected[512:518, :]).mean() < 0.08
+
+
+class TestRegionFeed:
+    """Region-once wire transfer (bands + on-device patchify)."""
+
+    def test_band_plan_covers_grid_exactly(self) -> None:
+        from tiatoolbox_tpu.ops.region import BandPlan
+        from tiatoolbox_tpu.tools.patchextraction import PatchExtractor
+
+        inputs = PatchExtractor.get_coordinates(
+            image_shape=(769, 515), patch_input_shape=(128, 128),
+            stride_shape=(96, 96),
+        )
+        plan = BandPlan.build(inputs, (128, 128), (96, 96),
+                              max_band_bytes=2 * 1024 * 1024)
+        assert plan is not None
+        seen = np.concatenate([b.ds_indices for b in plan.bands])
+        assert sorted(seen) == list(range(len(inputs)))
+        # every local start maps back to the exact grid coordinate
+        for band in plan.bands:
+            for ds_idx, (ly, lx) in zip(band.ds_indices, band.starts_local):
+                assert band.read_y + ly == inputs[ds_idx][1]
+                assert band.read_x + lx == inputs[ds_idx][0]
+            assert band.starts_local.min() >= 0
+            assert band.starts_local[:, 0].max() + 128 <= band.band_h
+            assert band.starts_local[:, 1].max() + 128 <= band.band_w
+        # banding ships fewer pixels than the per-patch feed
+        assert plan.wire_pixels < len(inputs) * 128 * 128
+
+    def test_band_plan_rejects_non_overlapping_and_holey_grids(self) -> None:
+        from tiatoolbox_tpu.ops.region import BandPlan
+        from tiatoolbox_tpu.tools.patchextraction import PatchExtractor
+
+        full = PatchExtractor.get_coordinates(
+            image_shape=(512, 512), patch_input_shape=(128, 128),
+            stride_shape=(128, 128),
+        )
+        assert BandPlan.build(full, (128, 128), (128, 128)) is None  # no overlap
+        overlapped = PatchExtractor.get_coordinates(
+            image_shape=(512, 512), patch_input_shape=(128, 128),
+            stride_shape=(96, 96),
+        )
+        holey = overlapped[[0, 1, 3, 4, 5]]
+        assert BandPlan.build(holey, (128, 128), (96, 96)) is None
+
+    def test_extract_patches_matches_numpy(self) -> None:
+        from tiatoolbox_tpu.ops.region import extract_patches
+
+        rng = np.random.default_rng(0)
+        band = rng.integers(0, 255, (64, 96, 3), np.uint8)
+        starts = np.array([[0, 0], [16, 32], [32, 64], [48, 0]], np.int32)
+        got = np.asarray(extract_patches(band, starts, (16, 32)))
+        for k, (y, x) in enumerate(starts):
+            np.testing.assert_array_equal(got[k], band[y:y + 16, x:x + 32])
+
+    def test_region_feed_matches_patch_feed(self, setup, slide_path) -> None:
+        model, ioconfig = setup
+        region, seg_r = _run(model, ioconfig, slide_path, force_host=False)
+        assert seg_r.last_stage_summary["path"] == "device-canvas+region-feed"
+        patch, seg_p = _run(model, ioconfig, slide_path, force_host=False,
+                            region_feed=False)
+        assert seg_p.last_stage_summary["path"] == "device-canvas"
+        assert region.shape == patch.shape
+        assert np.abs(region - patch).max() < 1e-4
+        # region feed ships fewer pixels than the per-patch feed
+        assert (seg_r.last_stage_summary["wire_pixels"]
+                < seg_p.last_stage_summary["wire_pixels"])
+        for key in ("decode", "wire", "dispatch-wall", "fetch"):
+            assert key in seg_r.last_stage_summary
+
+    def test_masked_grid_falls_back_to_patch_feed(self, setup, slide_path) -> None:
+        model, ioconfig = setup
+        seg = SemanticSegmentor(model, batch_size=8, num_loader_workers=0,
+                                verbose=False)
+        mask = np.zeros((515, 769), np.uint8)
+        mask[:256, :256] = 1
+        out = seg.run(
+            [slide_path], masks=[mask], patch_mode=False, ioconfig=ioconfig,
+            auto_get_mask=False,
+        )
+        assert seg.last_stage_summary["path"] != "device-canvas+region-feed"
+        assert np.asarray(next(iter(out.values()))["probabilities"]).ndim == 3

@@ -60,9 +60,18 @@ class SemanticSegmentor(EngineABC):
         # "float32" (exact) or "float16" (half the device→host bytes;
         # ≤6e-4 probability quantization, well under stitch-seam noise).
         self.canvas_wire_dtype = "float32"
+        # Region-once wire transfer: "auto" ships decoded slide BANDS
+        # once and patchifies on device when the grid is regular and the
+        # device canvas is in use (overlapping strides stop paying the
+        # link (patch/stride)^2 times). True forces, False disables.
+        self.region_feed = "auto"
+        # Per-stage wall seconds of the last WSI inference (decode /
+        # wire / dispatch-wall / fetch ...), for benches and tuning.
+        self.last_stage_summary: dict | None = None
 
     _RUN_PARAMS = (
-        *EngineABC._RUN_PARAMS, "memory_threshold", "canvas_wire_dtype"
+        *EngineABC._RUN_PARAMS, "memory_threshold", "canvas_wire_dtype",
+        "region_feed",
     )
 
     # -- data -------------------------------------------------------------------
@@ -149,6 +158,12 @@ class SemanticSegmentor(EngineABC):
         if self._can_use_device_canvas(
             dataset, canvas_wh, n_channels, coord_scale, probe=probe
         ):
+            plan = self._region_feed_plan(dataset)
+            if plan is not None:
+                return self._infer_wsi_device_canvas_region(
+                    dataloader, canvas_wh, n_channels, coord_scale,
+                    probe=probe, plan=plan,
+                )
             return self._infer_wsi_device_canvas(
                 dataloader, canvas_wh, n_channels, coord_scale, probe=probe
             )
@@ -241,6 +256,7 @@ class SemanticSegmentor(EngineABC):
             n = np.asarray(count[y0:y1])
             canvas[y0:y1] = c / np.maximum(n, 1.0)
 
+        self.last_stage_summary = {"path": "host-canvas"}
         return {"probabilities": canvas}
 
     # device-canvas threshold: canvas + count must stay well under HBM
@@ -287,6 +303,133 @@ class SemanticSegmentor(EngineABC):
         # every cell is either full-size or clipped against the boundary
         return bool(np.all(full | clipped_ok))
 
+    def _region_feed_plan(self, dataset):
+        """BandPlan for region-once wire transfer, or None when the
+        per-patch feed must be used (mask-filtered grids, per-patch
+        preproc hooks, irregular grids, or stride >= patch)."""
+        if self.region_feed is False or str(self.region_feed) == "False":
+            return None
+        from tiatoolbox_tpu.models.models_abc import ModelABC
+        from tiatoolbox_tpu.ops.region import BandPlan
+
+        if len(dataset.inputs) != len(getattr(dataset, "full_inputs", ())):
+            return None  # masked grids have holes; band indexing breaks
+        preproc = getattr(dataset, "preproc_func", None)
+        if preproc is not None and preproc is not ModelABC.preproc:
+            return None  # per-patch host preproc can't run on-device
+        return BandPlan.build(
+            np.asarray(dataset.inputs),
+            patch_wh=dataset.patch_input_shape,
+            stride_wh=dataset.stride_shape,
+        )
+
+    def _infer_wsi_device_canvas_region(
+        self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale,
+        probe, plan,
+    ) -> dict:
+        """Device-canvas stitch fed by once-shipped slide bands.
+
+        Host threads decode+stage band i+1/i+2 while the device runs
+        extract→forward→scatter on band i; each unique slide row crosses
+        the link once (plus a (patch-stride)-row halo per band seam).
+        """
+        import time as _time
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        from tiatoolbox_tpu.ops.canvas import DeviceCanvas
+        from tiatoolbox_tpu.ops.region import extract_patches
+        from tiatoolbox_tpu.utils.profiling import StageTimer
+
+        dataset = dataloader.dataset
+        outputs_arr = dataset.outputs
+        probe = np.asarray(probe)
+        ph_out, pw_out = probe.shape[1:3]
+        starts_canvas = np.round(
+            outputs_arr[:, :2].astype(float) * coord_scale
+        ).astype(np.int32)
+        pad_h = max(int(canvas_wh[1]), int(starts_canvas[:, 1].max()) + ph_out)
+        pad_w = max(int(canvas_wh[0]), int(starts_canvas[:, 0].max()) + pw_out)
+        canvas = DeviceCanvas((pad_h, pad_w), n_channels)
+        timer = StageTimer()
+
+        def read_and_stage(band):
+            with timer.stage("decode", items=band.band_w * band.band_h):
+                img = dataset.reader.read_rect(
+                    location=(band.read_x, band.read_y),
+                    size=(band.band_w, band.band_h),
+                    resolution=dataset.resolution,
+                    units=dataset.units,
+                    coord_space="resolution",
+                )
+            with timer.stage("wire", items=img.nbytes):
+                dev = jax.device_put(np.ascontiguousarray(img))
+                dev.block_until_ready()
+            return dev
+
+        batch_size = self.batch_size
+        patch_hw = (plan.patch_h, plan.patch_w)
+        t_loop = _time.perf_counter()
+        bands = plan.bands
+        inflight: deque = deque()
+        bi = 0
+        progress = _progress(
+            range(len(bands)), verbose=self.verbose, desc="infer-wsi(bands)",
+            total=len(bands),
+        )
+        progress_iter = iter(progress)
+        with ThreadPoolExecutor(2) as pool:
+            while bi < len(bands) or inflight:
+                while bi < len(bands) and len(inflight) < 3:
+                    inflight.append(
+                        (bands[bi], pool.submit(read_and_stage, bands[bi]))
+                    )
+                    bi += 1
+                band, fut = inflight.popleft()
+                dev = fut.result()
+                n = len(band.ds_indices)
+                for c0 in range(0, n, batch_size):
+                    idx = band.ds_indices[c0 : c0 + batch_size]
+                    n_valid = len(idx)
+                    starts = np.zeros((batch_size, 2), np.int32)
+                    starts[:n_valid] = band.starts_local[c0 : c0 + batch_size]
+                    patches = extract_patches(dev, starts, patch_hw)
+                    probs = self.model.infer_batch_device(
+                        self.model, patches, self.device
+                    )
+                    positions = np.zeros((batch_size, 2), np.int32)
+                    positions[:n_valid] = starts_canvas[idx][:, [1, 0]]
+                    valid = np.arange(batch_size) < n_valid
+                    canvas.add(probs, positions, valid)
+                del dev
+                next(progress_iter, None)
+        timer.add("dispatch-wall", _time.perf_counter() - t_loop)
+
+        h, w = int(canvas_wh[1]), int(canvas_wh[0])
+        with timer.stage("fetch", items=h * w * n_channels):
+            fetched = self._fetch_canvas(canvas, h, w)
+        summary = timer.summary()
+        summary["path"] = "device-canvas+region-feed"
+        summary["wire_pixels"] = plan.wire_pixels
+        summary["n_bands"] = len(bands)
+        self.last_stage_summary = summary
+        return {"probabilities": fetched}
+
+    def _fetch_canvas(self, canvas, h: int, w: int) -> np.ndarray:
+        """Normalize on device, crop, and fetch with concurrent row-chunk
+        copies (the single-stream device→host drain is the binding term
+        for whole-canvas fetches on tunneled links)."""
+        from tiatoolbox_tpu.parallel.pipeline import fetch_chunked
+
+        if str(self.canvas_wire_dtype) in ("float16", "f16", "fp16"):
+            import jax.numpy as jnp
+
+            dev = canvas.normalized(jnp.float16)[:h, :w]
+            return fetch_chunked(dev, dtype=np.float32)
+        return fetch_chunked(canvas.normalized()[:h, :w])
+
     def _infer_wsi_device_canvas(
         self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale,
         probe=None,
@@ -310,10 +453,17 @@ class SemanticSegmentor(EngineABC):
         pad_h = max(int(canvas_wh[1]), int(starts[:, 1].max()) + ph)
         pad_w = max(int(canvas_wh[0]), int(starts[:, 0].max()) + pw)
         canvas = DeviceCanvas((pad_h, pad_w), n_channels)
+        import time as _time
+
+        from tiatoolbox_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+        t_loop = _time.perf_counter()
         # staged feed: concurrent host→HBM copies overlap the scatters
         batch_iter = dataloader.iter_staged(
             self.model.stage_batch, int(getattr(self, "transfer_threads", 2))
         )
+        wire_pixels = 0
         for batch in _progress(
             batch_iter, verbose=self.verbose, desc="infer-wsi",
             total=len(dataloader),
@@ -323,6 +473,7 @@ class SemanticSegmentor(EngineABC):
             )
             n_valid = batch["n_valid"]
             batch_size = batch["image"].shape[0]
+            wire_pixels += int(np.prod(batch["image"].shape[:3]))
             indices = np.asarray(batch["indices"])[:n_valid]
             coords = outputs_arr[indices].astype(float) * np.tile(coord_scale, 2)
             # pad to the fixed batch shape (tail batches carry padding)
@@ -330,13 +481,15 @@ class SemanticSegmentor(EngineABC):
             positions[:n_valid] = np.round(coords[:, [1, 0]]).astype(np.int32)
             valid = np.arange(batch_size) < n_valid
             canvas.add(probs, positions, valid)
+        timer.add("decode+wire+dispatch-wall", _time.perf_counter() - t_loop)
         h, w = int(canvas_wh[1]), int(canvas_wh[0])
-        if str(self.canvas_wire_dtype) in ("float16", "f16", "fp16"):
-            import jax.numpy as jnp
-
-            fetched = np.asarray(canvas.normalized(jnp.float16)[:h, :w])
-            return {"probabilities": fetched.astype(np.float32)}
-        return {"probabilities": np.asarray(canvas.normalized()[:h, :w])}
+        with timer.stage("fetch", items=h * w * n_channels):
+            fetched = self._fetch_canvas(canvas, h, w)
+        summary = timer.summary()
+        summary["path"] = "device-canvas"
+        summary["wire_pixels"] = wire_pixels
+        self.last_stage_summary = summary
+        return {"probabilities": fetched}
 
     # -- postproc/save ----------------------------------------------------------------
 

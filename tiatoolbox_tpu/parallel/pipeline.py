@@ -163,3 +163,42 @@ class BatchLoader:
                 except queue.Empty:
                     break
             thread.join(timeout=5)
+
+
+def fetch_chunked(
+    device_array,
+    n_threads: int = 8,
+    n_chunks: int = 16,
+    dtype=None,
+) -> np.ndarray:
+    """Device→host fetch of a large array via concurrent row-chunk copies.
+
+    A single ``np.asarray`` on a tunneled device drains at
+    single-stream link rate; fetching ``n_chunks`` row slices from
+    ``n_threads`` threads overlaps the copies (measured v5e-tunnel:
+    14 → 41 MB/s at 8 threads on a 12.6 MB canvas). On PCIe-attached
+    hosts the chunking is a harmless ~µs overhead.
+
+    Args:
+        device_array: jax array (any rank ≥ 1; split along axis 0).
+        dtype: optional host dtype for the output buffer.
+    """
+    import math
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = int(device_array.shape[0])
+    n_chunks = max(1, min(n_chunks, n))
+    step = math.ceil(n / n_chunks)
+    out = np.empty(
+        device_array.shape,
+        dtype if dtype is not None else np.dtype(str(device_array.dtype)),
+    )
+    slices = [slice(i, min(i + step, n)) for i in range(0, n, step)]
+    parts = [device_array[s] for s in slices]
+
+    def copy(idx: int) -> None:
+        out[slices[idx]] = np.asarray(parts[idx])
+
+    with ThreadPoolExecutor(min(n_threads, len(slices))) as pool:
+        list(pool.map(copy, range(len(slices))))
+    return out
