@@ -433,27 +433,38 @@ def bench_semantic_segmentor() -> dict:
 
 
 def bench_multitask_segmentor() -> dict:
-    """Config 5: HoVerNet-fast instance segmentation incl. watershed."""
-    import jax.numpy as jnp
+    """Config 5: HoVerNet-fast instance segmentation incl. watershed.
 
+    Uses a deterministic CALIBRATED checkpoint (seeded init + np-head
+    bias calibration so ~18% of pixels are nucleus-foreground — see
+    scripts/make_bench_checkpoints.py) cached where
+    ``get_pretrained_model`` looks, so the watershed/instance stages see
+    representative blob statistics instead of a degenerate random map.
+    """
     from tiatoolbox_tpu.data.synth import make_synthetic_slide
     from tiatoolbox_tpu.models.architecture import get_pretrained_model
     from tiatoolbox_tpu.models.engine.multi_task_segmentor import MultiTaskSegmentor
+
+    sys_path = os.path.join(os.path.dirname(__file__), "scripts")
+    if sys_path not in __import__("sys").path:
+        __import__("sys").path.insert(0, sys_path)
+    from make_bench_checkpoints import ensure_hovernet_bench_checkpoint
+
+    ensure_hovernet_bench_checkpoint()
 
     slide_path = f"/tmp/bench_mts_{os.getpid()}.tiff"
     make_synthetic_slide(slide_path, size=(1536, 1024), mpp=0.25, objective_power=40)
     model, ioconfig = get_pretrained_model("hovernet_fast-pannuke")
     model.optimize_for_inference()
     seg = MultiTaskSegmentor(model, batch_size=16, num_loader_workers=0)
-    # warm on a small slide (forward compile is shape-keyed)
-    warm_slide = f"/tmp/bench_mts_warm_{os.getpid()}.tiff"
-    make_synthetic_slide(warm_slide, size=(512, 384), mpp=0.25, objective_power=40)
+    # warm on the SAME slide (all programs are shape-keyed)
     seg.run(
-        [warm_slide],
+        [slide_path],
         patch_mode=False,
         ioconfig=ioconfig,
         auto_get_mask=False,
         verbose=False,
+        canvas_wire_dtype="float16",
     )
     t0 = time.perf_counter()
     out = seg.run(
@@ -462,15 +473,53 @@ def bench_multitask_segmentor() -> dict:
         ioconfig=ioconfig,
         auto_get_mask=False,
         verbose=False,
+        canvas_wire_dtype="float16",
     )
     elapsed = time.perf_counter() - t0
     result = next(iter(out.values()))
     n_inst = len(result.get("instances", result))
     mpix = 1536 * 1024 / 1e6
+
+    # Link-invariant device-plane rate: N chained forwards, slope-style
+    # short chain (the big chain compile is not worth it here).
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(np.random.randint(0, 255, (16, 256, 256, 3), np.uint8))
+    module, variables = model.module, model.variables
+
+    def make_chain(n_iter):
+        @jax.jit
+        def chain(x0):
+            def body(_, carry):
+                xc, acc = carry
+                h = module.apply(variables, xc.astype(jnp.bfloat16))
+                s = jnp.sum(h["np"].astype(jnp.float32))
+                xc = xc + (s * 0).astype(jnp.uint8)
+                return (xc, s)
+
+            return jax.lax.fori_loop(0, n_iter, body, (x0, jnp.float32(0)))[1]
+
+        return chain
+
+    def best_secs(fn, reps=3):
+        np.asarray(fn(x))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_iter = (best_secs(make_chain(13)) - best_secs(make_chain(3))) / 10
+    dev_mpix = 16 * 256 * 256 / per_iter / 1e6
+
     return {
         "mpix_per_sec": mpix / elapsed,
         "instances": n_inst,
         "instances_per_sec": n_inst / elapsed,
+        "device_mpix_per_sec": dev_mpix,
+        "stages": seg.last_stage_summary,
     }
 
 
@@ -551,6 +600,9 @@ def main() -> None:
         "semantic_seg_stages": seg.get("stages"),
         "hovernet_e2e_mpix_per_sec": _r(mts["mpix_per_sec"]),
         "hovernet_instances_per_sec": _r(mts["instances_per_sec"]),
+        "hovernet_instances": mts.get("instances"),
+        "hovernet_device_mpix_per_sec": _r(mts.get("device_mpix_per_sec")),
+        "hovernet_stages": mts.get("stages"),
         "n_patches": pp["n_patches"],
     }
     print(json.dumps(result))

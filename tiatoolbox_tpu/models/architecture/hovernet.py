@@ -442,8 +442,20 @@ class HoVerNet(ModelABC):
         np_map = np.asarray(np_map)
         hv_map = np.asarray(hv_map)
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         pred_inst = HoVerNet._proc_np_hv(np_map, hv_map)
+        t1 = _time.perf_counter()
         info_dict = HoVerNet.get_instance_info(pred_inst, tp_map, offset)
+        # per-call stage split for engine/bench attribution (accumulated
+        # across tile-mode calls; engines reset between runs)
+        acc = getattr(self, "last_postproc_seconds", None) or {
+            "watershed": 0.0, "instance_info": 0.0,
+        }
+        acc["watershed"] += t1 - t0
+        acc["instance_info"] += _time.perf_counter() - t1
+        self.last_postproc_seconds = acc
 
         if not info_dict:
             columns = {

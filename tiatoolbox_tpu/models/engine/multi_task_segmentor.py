@@ -88,6 +88,17 @@ class MultiTaskSegmentor(SemanticSegmentor):
         n_heads = len(probe)
         head_channels = [int(np.asarray(p).shape[-1]) for p in probe]
 
+        # Device-resident multi-head stitching: every head shares the
+        # model's output patch geometry, so all heads stack into ONE
+        # C=sum(channels) HBM canvas, scattered per batch and fetched
+        # once at the end (instead of per-batch per-head host copies).
+        if self._can_use_multihead_device_canvas(
+            dataset, canvas_wh, head_channels, coord_scale, probe
+        ):
+            return self._infer_wsi_device_canvas_multihead(
+                dataloader, canvas_wh, head_channels, coord_scale, probe
+            )
+
         canvases = [
             create_smart_array(
                 (canvas_wh[1], canvas_wh[0], c),
@@ -107,6 +118,12 @@ class MultiTaskSegmentor(SemanticSegmentor):
         )
 
         outputs_arr = dataset.outputs
+        import time as _time
+
+        from tiatoolbox_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+        t_loop = _time.perf_counter()
         # Staged host→HBM copies overlap the forwards; device outputs
         # are fetched per batch at the canvas wire dtype (f16 halves
         # the head-map bytes on slow links; exact for tp argmax values).
@@ -163,15 +180,167 @@ class MultiTaskSegmentor(SemanticSegmentor):
                     )
                 count[cy0:cy1, cx0:cx1] = count[cy0:cy1, cx0:cx1] + 1.0
 
-        block = 2048
-        h = count.shape[0]
-        for y0 in range(0, h, block):
-            y1 = min(y0 + block, h)
-            n = np.maximum(np.asarray(count[y0:y1]), 1.0)
-            for canvas in canvases:
-                canvas[y0:y1] = np.asarray(canvas[y0:y1]) / n
+        timer.add(
+            "feed+forward+fetch+stitch", _time.perf_counter() - t_loop
+        )
+        with timer.stage("normalize"):
+            block = 2048
+            h = count.shape[0]
+            for y0 in range(0, h, block):
+                y1 = min(y0 + block, h)
+                n = np.maximum(np.asarray(count[y0:y1]), 1.0)
+                for canvas in canvases:
+                    canvas[y0:y1] = np.asarray(canvas[y0:y1]) / n
 
+        self.last_stage_summary = timer.summary()
+        self.last_stage_summary["path"] = "multitask-host-stitch"
         return {"head_maps": canvases, "canvas_wh": canvas_wh}
+
+    # -- device-resident multi-head stitching ------------------------------------------
+
+    def _multihead_positions(self, dataset, probe, coord_scale) -> np.ndarray:
+        """Canvas-space (y, x) scatter positions: model output centred in
+        each output grid cell (host-merge parity)."""
+        out_hw = np.asarray(probe[0]).shape[1:3]
+        oc = dataset.outputs.astype(float)
+        off_x = (oc[:, 2] - oc[:, 0] - out_hw[1]) / 2
+        off_y = (oc[:, 3] - oc[:, 1] - out_hw[0]) / 2
+        x0 = np.round((oc[:, 0] + off_x) * coord_scale[0]).astype(np.int32)
+        y0 = np.round((oc[:, 1] + off_y) * coord_scale[1]).astype(np.int32)
+        return np.stack([y0, x0], axis=-1)
+
+    def _can_use_multihead_device_canvas(
+        self, dataset, canvas_wh, head_channels, coord_scale, probe
+    ) -> bool:
+        if getattr(self.model, "mesh", None) is not None:
+            return False
+        shapes = {np.asarray(p).shape[1:3] for p in probe}
+        if len(shapes) != 1:
+            return False  # heads at different scales: host merge
+        total_ch = sum(head_channels) + 1
+        n_pixels = int(canvas_wh[0]) * int(canvas_wh[1])
+        if n_pixels * total_ch * 4 > self._device_canvas_budget_bytes():
+            return False
+        positions = self._multihead_positions(dataset, probe, coord_scale)
+        return bool(positions.min() >= 0)
+
+    def _infer_wsi_device_canvas_multihead(
+        self, dataloader: BatchLoader, canvas_wh, head_channels, coord_scale,
+        probe,
+    ) -> dict:
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from tiatoolbox_tpu.ops.canvas import DeviceCanvas
+        from tiatoolbox_tpu.utils.profiling import StageTimer
+
+        dataset = dataloader.dataset
+        probe0 = np.asarray(probe[0])
+        ph, pw = probe0.shape[1:3]
+        positions_all = self._multihead_positions(dataset, probe, coord_scale)
+        pad_h = max(int(canvas_wh[1]), int(positions_all[:, 0].max()) + ph)
+        pad_w = max(int(canvas_wh[0]), int(positions_all[:, 1].max()) + pw)
+        n_channels = sum(head_channels)
+        canvas = DeviceCanvas((pad_h, pad_w), n_channels)
+        timer = StageTimer()
+
+        def run_batch(images, indices, n_valid, batch_size):
+            heads = self.model.infer_batch_device(self.model, images, self.device)
+            if not isinstance(heads, (tuple, list)):
+                heads = (heads,)
+            stacked = jnp.concatenate(heads, axis=-1)
+            positions = np.zeros((batch_size, 2), np.int32)
+            positions[:n_valid] = positions_all[indices[:n_valid]]
+            valid = np.arange(batch_size) < n_valid
+            canvas.add(stacked, positions, valid)
+
+        plan = self._region_feed_plan(dataset)
+        t_loop = _time.perf_counter()
+        if plan is not None:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            import jax
+
+            from tiatoolbox_tpu.ops.region import extract_patches
+
+            def read_and_stage(band):
+                with timer.stage("decode", items=band.band_w * band.band_h):
+                    img = dataset.reader.read_rect(
+                        location=(band.read_x, band.read_y),
+                        size=(band.band_w, band.band_h),
+                        resolution=dataset.resolution,
+                        units=dataset.units,
+                        coord_space="resolution",
+                    )
+                with timer.stage("wire", items=img.nbytes):
+                    dev = jax.device_put(np.ascontiguousarray(img))
+                    dev.block_until_ready()
+                return dev
+
+            bands = plan.bands
+            patch_hw = (plan.patch_h, plan.patch_w)
+            inflight: deque = deque()
+            bi = 0
+            progress_iter = iter(_progress(
+                range(len(bands)), verbose=self.verbose,
+                desc="infer-wsi(bands)", total=len(bands),
+            ))
+            with ThreadPoolExecutor(2) as pool:
+                while bi < len(bands) or inflight:
+                    while bi < len(bands) and len(inflight) < 3:
+                        inflight.append(
+                            (bands[bi], pool.submit(read_and_stage, bands[bi]))
+                        )
+                        bi += 1
+                    band, fut = inflight.popleft()
+                    dev = fut.result()
+                    n = len(band.ds_indices)
+                    for c0 in range(0, n, self.batch_size):
+                        idx = band.ds_indices[c0 : c0 + self.batch_size]
+                        n_valid = len(idx)
+                        starts = np.zeros((self.batch_size, 2), np.int32)
+                        starts[:n_valid] = band.starts_local[c0 : c0 + self.batch_size]
+                        patches = extract_patches(dev, starts, patch_hw)
+                        run_batch(patches, idx, n_valid, self.batch_size)
+                    del dev
+                    next(progress_iter, None)
+            path_name = "multitask-device-canvas+region-feed"
+            wire_pixels = plan.wire_pixels
+        else:
+            batch_iter = dataloader.iter_staged(
+                self.model.stage_batch,
+                int(getattr(self, "transfer_threads", 2)),
+            )
+            wire_pixels = 0
+            for batch in _progress(
+                batch_iter, verbose=self.verbose, desc="infer-wsi",
+                total=len(dataloader),
+            ):
+                wire_pixels += int(np.prod(batch["image"].shape[:3]))
+                run_batch(
+                    batch["image"],
+                    np.asarray(batch["indices"]),
+                    batch["n_valid"],
+                    batch["image"].shape[0],
+                )
+            path_name = "multitask-device-canvas"
+        timer.add("dispatch-wall", _time.perf_counter() - t_loop)
+
+        h, w = int(canvas_wh[1]), int(canvas_wh[0])
+        with timer.stage("fetch", items=h * w * n_channels):
+            stacked = self._fetch_canvas(canvas, h, w)
+        head_maps = []
+        c0 = 0
+        for c in head_channels:
+            head_maps.append(stacked[..., c0 : c0 + c])
+            c0 += c
+        summary = timer.summary()
+        summary["path"] = path_name
+        summary["wire_pixels"] = wire_pixels
+        self.last_stage_summary = summary
+        return {"head_maps": head_maps, "canvas_wh": canvas_wh}
 
     # -- instance post-processing ---------------------------------------------------------
 
@@ -194,10 +363,15 @@ class MultiTaskSegmentor(SemanticSegmentor):
         return raw_predictions
 
     def post_process_wsi(self, raw_predictions: dict, **kwargs) -> dict:  # noqa: ARG002
+        import time as _time
+
         head_maps = raw_predictions["head_maps"]
         canvas_wh = raw_predictions["canvas_wh"]
         n_pixels = canvas_wh[0] * canvas_wh[1]
         semantic: dict = {}
+        if hasattr(self.model, "last_postproc_seconds"):
+            self.model.last_postproc_seconds = None  # reset accumulation
+        t0 = _time.perf_counter()
         if n_pixels <= self.full_postproc_limit:
             maps = [np.asarray(m) for m in head_maps]
             results = self.model.postproc_func(maps)
@@ -207,6 +381,14 @@ class MultiTaskSegmentor(SemanticSegmentor):
                     semantic[task["task_type"]] = np.asarray(task["predictions"])
         else:
             instances, semantic = self._process_tile_mode(head_maps, canvas_wh)
+        if self.last_stage_summary is not None:
+            self.last_stage_summary["instance-postproc"] = {
+                "seconds": round(_time.perf_counter() - t0, 4)
+            }
+            sub = getattr(self.model, "last_postproc_seconds", None)
+            if sub:
+                for name, secs in sub.items():
+                    self.last_stage_summary[name] = {"seconds": round(secs, 4)}
         out = {"instances": instances, "canvas_wh": canvas_wh}
         if semantic:
             out["semantic_predictions"] = semantic

@@ -16,27 +16,15 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def scatter_accumulate(
+def scatter_accumulate_impl(
     canvas: jnp.ndarray,
     count: jnp.ndarray,
     patches: jnp.ndarray,
     positions: jnp.ndarray,
     valid: jnp.ndarray,
 ):
-    """Accumulate patches into (canvas, count) at given positions.
-
-    Args:
-        canvas: [H, W, C] float32 accumulator (donated).
-        count: [H, W, 1] float32 hit counter (donated).
-        patches: [N, h, w, C] patch values.
-        positions: [N, 2] int32 (y, x) top-left offsets (pre-clipped to
-            keep the patch inside the canvas).
-        valid: [N] bool; invalid entries contribute nothing.
-
-    Returns:
-        Updated (canvas, count).
-    """
+    """Functional scatter-accumulate body (traceable inside shard_map —
+    the multi-chip dryrun runs it per-device with a psum reduction)."""
     patch_h, patch_w = patches.shape[1:3]
 
     def body(carry, inputs):
@@ -59,6 +47,30 @@ def scatter_accumulate(
         body, (canvas, count), (patches, positions, valid)
     )
     return canvas, count
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def scatter_accumulate(
+    canvas: jnp.ndarray,
+    count: jnp.ndarray,
+    patches: jnp.ndarray,
+    positions: jnp.ndarray,
+    valid: jnp.ndarray,
+):
+    """Accumulate patches into (canvas, count) at given positions.
+
+    Args:
+        canvas: [H, W, C] float32 accumulator (donated).
+        count: [H, W, 1] float32 hit counter (donated).
+        patches: [N, h, w, C] patch values.
+        positions: [N, 2] int32 (y, x) top-left offsets (pre-clipped to
+            keep the patch inside the canvas).
+        valid: [N] bool; invalid entries contribute nothing.
+
+    Returns:
+        Updated (canvas, count).
+    """
+    return scatter_accumulate_impl(canvas, count, patches, positions, valid)
 
 
 @jax.jit
