@@ -297,9 +297,11 @@ def bench_stainnorm() -> dict:
         return stain_transform(x, conc_proj, target_stains, conc_scale)
 
     jax.block_until_ready(dev_transform(tiles))
-    # end-to-end: stage chunks from 2 transfer threads, async dispatch,
-    # fetch with a bounded window (same streaming shape as the engines).
-    from collections import deque
+    # end-to-end: multi-stream staging BOTH ways (the same shape as
+    # BatchLoader.iter_staged): 4 put threads keep host→HBM copies in
+    # flight while 4 fetch threads drain results concurrently — the
+    # r02 loop fetched serially on one stream and ran at 0.785 of the
+    # (serial-link) ceiling.
     from concurrent.futures import ThreadPoolExecutor
 
     def put(c):
@@ -309,16 +311,14 @@ def bench_stainnorm() -> dict:
         arr.block_until_ready()
         return arr
 
-    with ThreadPoolExecutor(4) as pool:
+    with ThreadPoolExecutor(4) as put_pool, ThreadPoolExecutor(4) as fetch_pool:
         t0 = time.perf_counter()
-        inflight: deque = deque()
-        outs = []
-        for fut in [pool.submit(put, c) for c in chunks]:
-            inflight.append(dev_transform(fut.result()))
-            if len(inflight) > 5:
-                outs.append(np.asarray(inflight.popleft()))
-        while inflight:
-            outs.append(np.asarray(inflight.popleft()))
+        put_futs = [put_pool.submit(put, c) for c in chunks]
+        fetch_futs = []
+        for fut in put_futs:
+            dev = dev_transform(fut.result())
+            fetch_futs.append(fetch_pool.submit(np.asarray, dev))
+        outs = [f.result() for f in fetch_futs]
         e2e = 8 * tiles.size / 3 / 1e6 / (time.perf_counter() - t0)
 
     # kernel-only: chain N transforms inside ONE program, scalar fetch.

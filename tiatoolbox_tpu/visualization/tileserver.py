@@ -45,10 +45,23 @@ class TileServer:
         renderer: AnnotationRenderer for store layers.
     """
 
-    def __init__(self, title: str = "tiatoolbox-tpu", layers=None, renderer=None) -> None:
+    def __init__(
+        self,
+        title: str = "tiatoolbox-tpu",
+        layers=None,
+        renderer=None,
+        model_runners: dict | None = None,
+        prompt_segmentor=None,
+    ) -> None:
         from tiatoolbox_tpu.utils.visualization import AnnotationRenderer
 
         self.title = title
+        # interactive model-run hooks (reference bokeh_app segment_on_box
+        # / sam_segment, ``main.py:1443,1503``): name → callable taking a
+        # uint8 region and returning an instance dict. Defaults are built
+        # lazily from the pretrained registry; tests inject their own.
+        self.model_runners: dict = dict(model_runners or {})
+        self.prompt_segmentor = prompt_segmentor
         self.renderer = renderer if renderer is not None else AnnotationRenderer()
         self.layers: dict[str, object] = {}
         self.pyramids: dict[str, object] = {}
@@ -203,6 +216,9 @@ class TileServer:
             "commit": self._ctl_commit,
             "channels": self._ctl_channels,
             "enhance": self._ctl_enhance,
+            "segment_on_box": self._ctl_segment_on_box,
+            "prompt_segment": self._ctl_prompt_segment,
+            "graph": self._ctl_graph,
         }.get(parts[0])
         if handler is None:
             return self._respond_error(start_response, "404 Not Found", "not found")
@@ -446,6 +462,259 @@ class TileServer:
         else:
             overlay.commit()
         return {"committed": True}
+
+    # -- interactive model runs (reference bokeh_app/main.py:1443-1600) ------------
+
+    def _session_id_of(self, state) -> str:
+        return next(k for k, v in self.sessions.items() if v is state)
+
+    def _segment_runner(self, model_name: str):
+        """Instance-segmentation runner for a registry model (cached).
+
+        The runner takes a uint8 RGB region (already at the model's
+        working resolution) and returns the engine's instance dict
+        ({uuid: {box, centroid, contours, prob, type}}) in region
+        pixel coordinates.
+        """
+        if model_name in self.model_runners:
+            return self.model_runners[model_name]
+
+        from tiatoolbox_tpu.models.architecture import get_pretrained_model
+        from tiatoolbox_tpu.models.engine.io_config import (
+            IOInstanceSegmentorConfig,
+        )
+        from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
+            MultiTaskSegmentor,
+        )
+
+        model, ioconfig = get_pretrained_model(model_name)
+        # the region ndarray is read AT the model's resolution, so the
+        # engine runs it as a baseline-resolution virtual slide
+        base_cfg = IOInstanceSegmentorConfig(
+            input_resolutions=[{"units": "baseline", "resolution": 1.0}],
+            output_resolutions=[{"units": "baseline", "resolution": 1.0}],
+            patch_input_shape=ioconfig.patch_input_shape,
+            patch_output_shape=getattr(
+                ioconfig, "patch_output_shape", ioconfig.patch_input_shape
+            ),
+            stride_shape=ioconfig.stride_shape,
+            margin=getattr(ioconfig, "margin", 64),
+            tile_shape=getattr(ioconfig, "tile_shape", (2048, 2048)),
+            save_resolution={"units": "baseline", "resolution": 1.0},
+        )
+        engine = MultiTaskSegmentor(
+            model, batch_size=4, num_loader_workers=0, verbose=False
+        )
+
+        def run(region: np.ndarray) -> dict:
+            out = engine.run(
+                [region], patch_mode=False, ioconfig=base_cfg,
+                auto_get_mask=False,
+            )
+            return next(iter(out.values())).get("instances", {})
+
+        self.model_runners[model_name] = run
+        return run
+
+    def _model_mpp(self, model_name: str):
+        from tiatoolbox_tpu import _get_pretrained_info
+
+        cfg = _get_pretrained_info().get(model_name, {})
+        res = (cfg.get("ioconfig", {}).get("kwargs", {})
+               .get("input_resolutions", [{}]))[0]
+        if res.get("units") == "mpp":
+            return float(res["resolution"])
+        return None
+
+    def _ctl_segment_on_box(self, method, state, extra, params):  # noqa: ARG002
+        """Run an instance segmentor on a drawn box; add a "segment"
+        overlay layer (reference ``bokeh_app/main.py:1443-1501``)."""
+        from tiatoolbox_tpu.annotation.geometry import Polygon
+        from tiatoolbox_tpu.annotation.storage import Annotation, SQLiteStore
+
+        x0, y0, x1, y1 = (
+            float(params[k]) for k in ("x0", "y0", "x1", "y1")
+        )
+        x0, x1 = sorted((x0, x1))
+        y0, y1 = sorted((y0, y1))
+        model_name = params.get("model", "hovernet_fast-pannuke")
+        reader = state["layers"].get("slide") or next(
+            iter(state["layers"].values()), None
+        )
+        if reader is None:
+            msg = "slide"
+            raise KeyError(msg)
+        model_mpp = self._model_mpp(model_name)
+        slide_mpp = (
+            float(state["base_info"].mpp[0])
+            if state["base_info"] is not None and state["base_info"].mpp is not None
+            else None
+        )
+        if model_mpp is not None and slide_mpp is not None:
+            region = reader.read_bounds(
+                (int(x0), int(y0), int(x1), int(y1)),
+                resolution=model_mpp, units="mpp",
+            )
+            factor = model_mpp / slide_mpp
+        else:
+            region = reader.read_bounds(
+                (int(x0), int(y0), int(x1), int(y1)), resolution=0,
+                units="level",
+            )
+            factor = 1.0
+        instances = self._segment_runner(model_name)(np.asarray(region))
+        store = SQLiteStore()
+        annotations = []
+        for info in instances.values():
+            contour = np.asarray(info["contours"], float)
+            if contour.ndim != 2 or len(contour) < 3:
+                continue
+            shell = contour * factor + np.array([x0, y0])
+            props = {
+                "type": (
+                    int(info["type"]) if info.get("type") is not None else None
+                ),
+                "prob": (
+                    float(info["prob"]) if info.get("prob") is not None else None
+                ),
+            }
+            annotations.append(Annotation(Polygon(shell), props))
+        store.append_many(annotations)
+        self.add_layer("segment", store, session_id=self._session_id_of(state))
+        types = sorted(
+            {a.properties["type"] for a in annotations
+             if a.properties.get("type") is not None}
+        )
+        return {"count": len(annotations), "types": types, "layer": "segment"}
+
+    def _ctl_prompt_segment(self, method, state, extra, params):  # noqa: ARG002
+        """Prompt-based (SAM) segmentation from viewer points/boxes;
+        adds a "prompt" overlay layer (reference ``main.py:1503-1600``)."""
+        import tempfile
+
+        from tiatoolbox_tpu.annotation.storage import AnnotationStore
+
+        points = json.loads(params.get("points", "null"))
+        box = json.loads(params.get("box", "null"))
+        if not points and not box:
+            msg = "points"
+            raise KeyError(msg)
+        reader = state["layers"].get("slide") or next(
+            iter(state["layers"].values()), None
+        )
+        if reader is None:
+            msg = "slide"
+            raise KeyError(msg)
+        # read window: the prompt box, or the points' bbox + margin
+        margin = 256
+        coords = np.asarray(box, float).reshape(-1, 2) if box else np.asarray(
+            points, float
+        )
+        bx0, by0 = coords.min(axis=0) - (0 if box else margin)
+        bx1, by1 = coords.max(axis=0) + (0 if box else margin)
+        segmentor = self.prompt_segmentor
+        if segmentor is None:
+            try:
+                from tiatoolbox_tpu.models.engine.prompt_segmentor import (
+                    PromptSegmentor,
+                )
+
+                segmentor = self.prompt_segmentor = PromptSegmentor()
+            except Exception as exc:
+                msg = f"SAM weights unavailable: {exc}"
+                raise KeyError(msg) from exc
+        region = reader.read_bounds(
+            (int(bx0), int(by0), int(bx1), int(by1)), resolution=0,
+            units="level",
+        )
+        segmentor.scale = 1.0
+        segmentor.offset = np.array([bx0, by0])
+        local_points = (
+            np.asarray(points, float)[None] - [bx0, by0] if points else None
+        )
+        local_box = (
+            (np.asarray(box, float).reshape(-1) - [bx0, by0, bx0, by0])[None, None]
+            if box
+            else None
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            paths = segmentor.run(
+                [np.asarray(region)],
+                point_coords=local_points,
+                box_coords=local_box,
+                save_dir=tmp,
+            )
+            # copy into an in-memory store: the on-disk .db vanishes
+            # with the temp dir while the layer lives on
+            from tiatoolbox_tpu.annotation.storage import SQLiteStore
+
+            saved = AnnotationStore.open(paths[0])
+            store = SQLiteStore()
+            store.append_many(list(saved.values()))
+        n = len(store)
+        self.add_layer("prompt", store, session_id=self._session_id_of(state))
+        return {"count": n, "layer": "prompt"}
+
+    def _ctl_graph(self, method, state, extra, params):  # noqa: ARG002
+        """Load a SlideGraph as node/edge overlay layers with
+        per-feature node coloring (reference ``main.py:682,1286-1297``)."""
+        from tiatoolbox_tpu.annotation.geometry import LineString, Point
+        from tiatoolbox_tpu.annotation.storage import Annotation, SQLiteStore
+
+        if method == "GET":
+            nodes = state["layers"].get("graph_nodes")
+            return {"nodes": len(nodes) if nodes is not None else 0}
+        graph_path = params.get("graph_path")
+        if graph_path:
+            path = Path(graph_path)
+            if path.suffix.lower() == ".npz":
+                data = dict(np.load(path, allow_pickle=False))
+            else:
+                data = json.loads(path.read_text())
+        else:
+            data = json.loads(params["graph"])
+        coords = np.asarray(
+            data.get("coordinates", data.get("coords")), float
+        ).reshape(-1, 2)
+        edge_index = np.asarray(
+            data.get("edge_index", np.zeros((2, 0))), int
+        ).reshape(2, -1)
+        feats = data.get("x", data.get("feats"))
+        feats = np.asarray(feats, float) if feats is not None else None
+        mpp = params.get("model_mpp")
+        if mpp and state["base_info"] is not None and state["base_info"].mpp is not None:
+            coords = coords * (float(mpp) / float(state["base_info"].mpp[0]))
+        degree = np.zeros(len(coords), int)
+        for end in edge_index:
+            for v in end:
+                degree[v] += 1
+        n_feats = min(int(feats.shape[1]), 8) if feats is not None else 0
+        node_annotations = []
+        for i, (cx, cy) in enumerate(coords):
+            props = {"degree": int(degree[i])}
+            for f in range(n_feats):
+                props[f"feat_{f}"] = float(feats[i, f])
+            node_annotations.append(Annotation(Point(cx, cy), props))
+        nodes = SQLiteStore()
+        nodes.append_many(node_annotations)
+        edges = SQLiteStore()
+        edges.append_many(
+            [
+                Annotation(
+                    LineString([coords[a], coords[b]]), {"edge": 1}
+                )
+                for a, b in edge_index.T
+                if not np.array_equal(coords[a], coords[b])
+            ]
+        )
+        sid = self._session_id_of(state)
+        self.add_layer("graph_nodes", nodes, session_id=sid)
+        self.add_layer("graph_edges", edges, session_id=sid)
+        return {
+            "nodes": len(nodes),
+            "edges": len(edges),
+            "node_props": ["degree"] + [f"feat_{f}" for f in range(n_feats)],
+        }
 
     def _multichannel_post_proc(self, state):
         from tiatoolbox_tpu.utils.postproc_defs import MultichannelToRGB

@@ -48,6 +48,12 @@ VIEWER_HTML = """<!DOCTYPE html>
   </select></label>
   <button id="filterbtn">filter</button>
   <button id="statsbtn">stats</button>
+  <button id="segbox">segment box</button>
+  <button id="sammode">SAM points</button>
+  <button id="samrun" style="display:none;">run SAM</button>
+  <input id="graphpath" type="text" placeholder="graph path (.json/.npz)"
+         size="22"/>
+  <button id="graphload">load graph</button>
   <span id="pos"></span>
 </div>
 <div id="filterpanel" style="display:none; padding:8px; background:#2a2a2a;">
@@ -176,9 +182,44 @@ function draw() {{
 }}
 
 let dragging = false, lastX = 0, lastY = 0, moved = false;
-view.onmousedown = e => {{ dragging = true; moved = false;
-                          lastX = e.clientX; lastY = e.clientY; }};
+// interaction modes: 'pan' | 'segbox' | 'sam'
+let mode = 'pan';
+let boxStart = null, boxEnd = null;
+let samPoints = [];
+view.onmousedown = e => {{
+  if (mode === 'segbox') {{
+    boxStart = [e.clientX, e.clientY - 48]; boxEnd = null; return;
+  }}
+  dragging = true; moved = false;
+  lastX = e.clientX; lastY = e.clientY;
+}};
+function toWorld(sx, sy) {{
+  return [(sx - ox) / scale, (sy - oy) / scale];
+}}
 window.onmouseup = async e => {{
+  if (mode === 'segbox' && boxStart) {{
+    boxEnd = [e.clientX, e.clientY - 48];
+    const [wx0, wy0] = toWorld(boxStart[0], boxStart[1]);
+    const [wx1, wy1] = toWorld(boxEnd[0], boxEnd[1]);
+    boxStart = boxEnd = null; mode = 'pan';
+    document.getElementById('info').textContent = 'segmenting box...';
+    const res = await ctl('/tileserver/segment_on_box', 'PUT',
+      {{x0: wx0, y0: wy0, x1: wx1, y1: wy1}});
+    document.getElementById('info').textContent = res
+      ? `segment: ${{res.count}} instances (types ${{res.types}})`
+      : 'segment failed';
+    await refreshLayers();
+    return;
+  }}
+  if (mode === 'sam' && dragging && !moved) {{
+    const [wx, wy] = toWorld(e.clientX, e.clientY - 48);
+    samPoints.push([wx, wy]);
+    document.getElementById('info').textContent =
+      `SAM points: ${{samPoints.length}} (click "run SAM")`;
+    dragging = false;
+    drawOverlayMarks();
+    return;
+  }}
   if (dragging && !moved) {{
     const wx = (e.clientX - ox) / scale, wy = (e.clientY - 48 - oy) / scale;
     for (const name of layers.slice(1)) {{
@@ -192,6 +233,15 @@ window.onmouseup = async e => {{
   }}
   dragging = false;
 }};
+function drawOverlayMarks() {{
+  draw();
+  ctx.fillStyle = '#f55';
+  for (const [wx, wy] of samPoints) {{
+    ctx.beginPath();
+    ctx.arc(wx * scale + ox, wy * scale + oy, 4, 0, 7);
+    ctx.fill();
+  }}
+}}
 window.onmousemove = e => {{
   document.getElementById('pos').textContent =
     `(${{Math.round((e.clientX - ox)/scale)}}, ` +
@@ -368,6 +418,47 @@ document.getElementById('statsbtn').onclick = () => {{
   if (panel.style.display === 'block') showStats();
 }};
 document.getElementById('statprop').onchange = showStats;
+
+// ---- interactive model runs ---------------------------------------------
+document.getElementById('segbox').onclick = () => {{
+  mode = mode === 'segbox' ? 'pan' : 'segbox';
+  document.getElementById('info').textContent =
+    mode === 'segbox' ? 'drag a box to segment' : '';
+}};
+document.getElementById('sammode').onclick = () => {{
+  mode = mode === 'sam' ? 'pan' : 'sam';
+  samPoints = [];
+  document.getElementById('samrun').style.display =
+    mode === 'sam' ? 'inline' : 'none';
+  document.getElementById('info').textContent =
+    mode === 'sam' ? 'click to add prompt points' : '';
+}};
+document.getElementById('samrun').onclick = async () => {{
+  if (!samPoints.length) return;
+  document.getElementById('info').textContent = 'running SAM...';
+  const res = await ctl('/tileserver/prompt_segment', 'PUT',
+                        {{points: JSON.stringify(samPoints)}});
+  document.getElementById('info').textContent = res
+    ? `prompt: ${{res.count}} annotations` : 'SAM unavailable';
+  samPoints = []; mode = 'pan';
+  document.getElementById('samrun').style.display = 'none';
+  await refreshLayers();
+}};
+document.getElementById('graphload').onclick = async () => {{
+  const path = document.getElementById('graphpath').value;
+  if (!path) return;
+  const res = await ctl('/tileserver/graph', 'PUT', {{graph_path: path}});
+  if (res) {{
+    document.getElementById('info').textContent =
+      `graph: ${{res.nodes}} nodes, ${{res.edges}} edges`;
+    const sel = document.getElementById('colorprop');
+    for (const p of res.node_props) {{
+      const o = document.createElement('option');
+      o.value = p; o.textContent = 'node ' + p; sel.appendChild(o);
+    }}
+  }}
+  await refreshLayers();
+}};
 
 document.getElementById('split').onclick = async () => {{
   const path = document.getElementById('slide2').value;
