@@ -36,43 +36,64 @@ def write_synthetic_mrxs(
     *,
     missing_tiles: tuple = (),
     overlap: int = 0,
+    fill_bgr: int = 16777215,
+    n_data_files: int = 1,
+    corrupt_tiles: tuple = (),
 ) -> Path:
-    """Write <path>.mrxs + data dir; returns the .mrxs path."""
+    """Write <path>.mrxs + data dir; returns the .mrxs path.
+
+    Adversarial knobs: ``missing_tiles`` drops index entries,
+    ``corrupt_tiles`` writes garbage bytes for an entry, ``fill_bgr``
+    sets a nonzero fill colour, ``overlap`` emits camera overlap, and
+    ``n_data_files`` spreads tiles round-robin across data files.
+    """
     path = Path(path)
     mrxs = path.with_suffix(".mrxs")
     data_dir = mrxs.parent / mrxs.stem
     data_dir.mkdir(parents=True, exist_ok=True)
     mrxs.write_bytes(b"MIRAX synthetic stub")
 
-    # ---- data file with JPEG tiles, record index entries per level
+    # ---- data files with JPEG tiles, record index entries per level
     level_entries: list[list[tuple[int, int, int, int]]] = [[] for _ in range(n_levels)]
-    data_path = data_dir / "Data0000.dat"
+    data_paths = [data_dir / f"Data{k:04d}.dat" for k in range(n_data_files)]
+    handles = [p.open("wb") for p in data_paths]
     thumb_entry = None
-    with data_path.open("wb") as fh:
+    try:
+        tile_counter = 0
         for lvl in range(n_levels):
             step = 2**lvl
             for gy in range(0, grid_ny, step):
                 for gx in range(0, grid_nx, step):
                     if (lvl, gx // step, gy // step) in missing_tiles:
                         continue
-                    img = tile_pixels(lvl, gx // step, gy // step, tile)
-                    ok, buf = cv2.imencode(
-                        ".jpg",
-                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
-                        [cv2.IMWRITE_JPEG_QUALITY, 95],
-                    )
-                    assert ok
+                    if (lvl, gx // step, gy // step) in corrupt_tiles:
+                        payload = b"\xde\xad\xbe\xef" * 16
+                    else:
+                        img = tile_pixels(lvl, gx // step, gy // step, tile)
+                        ok, buf = cv2.imencode(
+                            ".jpg",
+                            cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                            [cv2.IMWRITE_JPEG_QUALITY, 95],
+                        )
+                        assert ok
+                        payload = buf.tobytes()
+                    fileno = tile_counter % n_data_files
+                    fh = handles[fileno]
                     offset = fh.tell()
-                    fh.write(buf.tobytes())
+                    fh.write(payload)
+                    tile_counter += 1
                     image_number = gy * grid_nx + gx
                     level_entries[lvl].append(
-                        (image_number, offset, len(buf), 0)
+                        (image_number, offset, len(payload), fileno)
                     )
         # one nonhier entry: a small "thumbnail" JPEG
         thumb = np.full((32, 32, 3), 128, np.uint8)
         ok, buf = cv2.imencode(".jpg", thumb)
-        thumb_entry = (0, fh.tell(), len(buf), 0)
-        fh.write(buf.tobytes())
+        thumb_entry = (0, handles[0].tell(), len(buf), 0)
+        handles[0].write(buf.tobytes())
+    finally:
+        for fh in handles:
+            fh.close()
 
     # ---- Slidedat.ini
     lines = [
@@ -100,8 +121,8 @@ def write_synthetic_mrxs(
         "NONHIER_0_VAL_0 = ScanDataLayer_SlideThumbnail",
         "",
         "[DATAFILE]",
-        "FILE_COUNT = 1",
-        "FILE_0 = Data0000.dat",
+        f"FILE_COUNT = {n_data_files}",
+        *[f"FILE_{k} = Data{k:04d}.dat" for k in range(n_data_files)],
         "",
     ]
     for lvl in range(n_levels):
@@ -114,7 +135,7 @@ def write_synthetic_mrxs(
             f"MICROMETER_PER_PIXEL_X = {mpp * 2**lvl}",
             f"MICROMETER_PER_PIXEL_Y = {mpp * 2**lvl}",
             "IMAGE_FORMAT = JPEG",
-            "IMAGE_FILL_COLOR_BGR = 16777215",
+            f"IMAGE_FILL_COLOR_BGR = {fill_bgr}",
             "",
         ]
     (data_dir / "Slidedat.ini").write_text("\n".join(lines), encoding="utf-8")

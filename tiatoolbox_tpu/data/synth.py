@@ -122,17 +122,49 @@ def make_synthetic_slide(
     return path
 
 
+def _dicom_element(group, elem, vr, value: bytes) -> bytes:
+    import struct
+
+    if len(value) % 2:
+        value += b"\x00" if vr != b"UI" else b"\x00"
+    head = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        return head + b"\x00\x00" + struct.pack("<I", len(value)) + value
+    return head + struct.pack("<H", len(value)) + value
+
+
+def _dicom_seq_item(content: bytes) -> bytes:
+    import struct
+
+    return struct.pack("<HHI", 0xFFFE, 0xE000, len(content)) + content
+
+
 def make_synthetic_dicom(
     path: str | Path,
     size: tuple[int, int] = (512, 384),
     frame_size: int = 128,
     mpp: float = 0.5,
     seed: int = 21,
-) -> Path:
-    """Write a minimal TILED_FULL WSI DICOM instance (native pixels).
+    *,
+    sparse: bool = False,
+    sparse_keep=None,
+    n_concat: int = 1,
+) -> Path | list[Path]:
+    """Write a minimal WSI DICOM instance (native pixels).
 
     Exercises the in-package DICOM parser; explicit VR little endian,
-    uncompressed RGB frames in row-major tile order.
+    uncompressed RGB frames.
+
+    Args:
+        sparse: Emit TILED_SPARSE organisation — only tiles selected by
+            ``sparse_keep`` are stored, each with an explicit
+            PlanePositionSlideSequence position.
+        sparse_keep: Callable ``(fy, fx) -> bool`` choosing which grid
+            cells carry data (default: a checkerboard).
+        n_concat: Split the frames across this many concatenated
+            instances (shared ConcatenationUID + frame offsets). When
+            >1, writes ``path`` with suffixes ``_p{k}.dcm`` and returns
+            the list of paths.
     """
     import struct
 
@@ -141,9 +173,14 @@ def make_synthetic_dicom(
     img = synthetic_he_patch(size=size, seed=seed)
     frames_across = -(-width // frame_size)
     frames_down = -(-height // frame_size)
+    if sparse and sparse_keep is None:
+        sparse_keep = lambda fy, fx: (fy + fx) % 2 == 0  # noqa: E731
     frames = []
+    positions = []  # 1-based (row_px, col_px) per stored frame
     for fy in range(frames_down):
         for fx in range(frames_across):
+            if sparse and not sparse_keep(fy, fx):
+                continue
             tile = np.zeros((frame_size, frame_size, 3), np.uint8)
             block = img[
                 fy * frame_size : (fy + 1) * frame_size,
@@ -151,39 +188,71 @@ def make_synthetic_dicom(
             ]
             tile[: block.shape[0], : block.shape[1]] = block
             frames.append(tile.tobytes())
-    pixel_data = b"".join(frames)
+            positions.append((fy * frame_size + 1, fx * frame_size + 1))
 
-    def element(group, elem, vr, value: bytes) -> bytes:
-        if len(value) % 2:
-            value += b"\x00" if vr != b"UI" else b"\x00"
-        head = struct.pack("<HH", group, elem) + vr
-        if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
-            return head + b"\x00\x00" + struct.pack("<I", len(value)) + value
-        return head + struct.pack("<H", len(value)) + value
-
+    element = _dicom_element
     ts = b"1.2.840.10008.1.2.1"  # explicit VR LE
-    meta = b"".join(
-        [
-            element(0x0002, 0x0010, b"UI", ts),
-        ]
-    )
+    meta = element(0x0002, 0x0010, b"UI", ts)
     mm = mpp / 1000.0
     spacing = f"{mm:.6f}\\{mm:.6f}".encode()
-    dataset = b"".join(
-        [
+    concat_uid = b"1.2.826.0.1.3680043.99.1.42" if n_concat > 1 else None
+
+    # split frames into n_concat parts
+    per_part = -(-len(frames) // n_concat)
+    paths = []
+    for part in range(n_concat):
+        lo = part * per_part
+        hi = min(lo + per_part, len(frames))
+        part_frames = frames[lo:hi]
+        if not part_frames:
+            continue
+        elements = [
             element(0x0008, 0x0008, b"CS", b"ORIGINAL\\PRIMARY\\VOLUME"),
             element(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
-            element(0x0028, 0x0008, b"IS", str(len(frames)).encode()),
+            element(0x0028, 0x0004, b"CS", b"RGB"),
+            element(0x0028, 0x0008, b"IS", str(len(part_frames)).encode()),
             element(0x0028, 0x0010, b"US", struct.pack("<H", frame_size)),
             element(0x0028, 0x0011, b"US", struct.pack("<H", frame_size)),
             element(0x0028, 0x0030, b"DS", spacing),
+        ]
+        if concat_uid:
+            elements += [
+                element(0x0020, 0x9161, b"UI", concat_uid),
+                element(0x0020, 0x9162, b"US", struct.pack("<H", part + 1)),
+                element(0x0020, 0x9228, b"UL", struct.pack("<I", lo)),
+            ]
+        elements += [
+            element(
+                0x0020, 0x9311, b"CS",
+                b"TILED_SPARSE" if sparse else b"TILED_FULL",
+            ),
+        ]
+        if sparse:
+            items = b"".join(
+                _dicom_seq_item(
+                    element(
+                        0x0048, 0x021A, b"SQ",
+                        _dicom_seq_item(
+                            element(0x0048, 0x021E, b"SL", struct.pack("<i", col))
+                            + element(0x0048, 0x021F, b"SL", struct.pack("<i", row))
+                        ),
+                    )
+                )
+                for row, col in positions[lo:hi]
+            )
+            elements.append(element(0x5200, 0x9230, b"SQ", items))
+        elements += [
             element(0x0048, 0x0006, b"UL", struct.pack("<I", width)),
             element(0x0048, 0x0007, b"UL", struct.pack("<I", height)),
-            element(0x7FE0, 0x0010, b"OB", pixel_data),
+            element(0x7FE0, 0x0010, b"OB", b"".join(part_frames)),
         ]
-    )
-    with path.open("wb") as fh:
-        fh.write(b"\x00" * 128 + b"DICM")
-        fh.write(meta)
-        fh.write(dataset)
-    return path
+        out_path = (
+            path if n_concat == 1
+            else path.with_name(f"{path.stem}_p{part}.dcm")
+        )
+        with out_path.open("wb") as fh:
+            fh.write(b"\x00" * 128 + b"DICM")
+            fh.write(meta)
+            fh.write(b"".join(elements))
+        paths.append(out_path)
+    return paths if n_concat > 1 else path

@@ -7,11 +7,17 @@ tiled whole-slide images natively:
 
 - file meta (explicit VR) + TransferSyntaxUID
 - explicit/implicit VR little-endian datasets with nested sequences
-- TILED_FULL frame organisation (row-major frame grid)
+- TILED_FULL (row-major frame grid) AND TILED_SPARSE frame
+  organisations — sparse frame positions come from the
+  PerFrameFunctionalGroupsSequence's PlanePositionSlideSequence
+  (Row/ColumnPositionInTotalImagePixelMatrix); unoccupied tiles read
+  as background (white for colour slides, black for monochrome)
+- concatenated instances: multiple files sharing a ConcatenationUID
+  form ONE level, stitched by ConcatenationFrameOffsetNumber
 - encapsulated (JPEG/J2K via OpenCV) and native pixel data
 
-One ``.dcm`` instance per pyramid level (directories are grouped by
-total pixel matrix size).
+Directories hold one instance per pyramid level, or several per level
+when concatenated.
 """
 
 from __future__ import annotations
@@ -39,6 +45,13 @@ TAG_TOTAL_MATRIX_ROWS = (0x0048, 0x0007)
 TAG_PIXEL_SPACING = (0x0028, 0x0030)
 TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 TAG_IMAGE_TYPE = (0x0008, 0x0008)
+TAG_PHOTOMETRIC = (0x0028, 0x0004)
+TAG_DIM_ORG_TYPE = (0x0020, 0x9311)
+TAG_PER_FRAME_SEQ = (0x5200, 0x9230)
+TAG_COL_POS = (0x0048, 0x021E)  # ColumnPositionInTotalImagePixelMatrix
+TAG_ROW_POS = (0x0048, 0x021F)  # RowPositionInTotalImagePixelMatrix
+TAG_CONCAT_UID = (0x0020, 0x9161)
+TAG_CONCAT_OFFSET = (0x0020, 0x9228)  # ConcatenationFrameOffsetNumber
 TAG_ITEM = (0xFFFE, 0xE000)
 TAG_ITEM_END = (0xFFFE, 0xE00D)
 TAG_SEQ_END = (0xFFFE, 0xE0DD)
@@ -58,6 +71,9 @@ class DicomDataset:
     elements: dict = field(default_factory=dict)
     frames: list = field(default_factory=list)
     transfer_syntax: str = TS_EXPLICIT_LE
+    # TILED_SPARSE: per-frame (row_px, col_px) 1-based positions in the
+    # total pixel matrix, parsed from PerFrameFunctionalGroupsSequence
+    frame_positions: list = field(default_factory=list)
 
     def get(self, tag, default=None):
         return self.elements.get(tag, default)
@@ -136,6 +152,13 @@ def _parse_elements(  # noqa: C901, PLR0912
 
         if length == 0xFFFFFFFF or vr == b"SQ":
             seq_end = offset + length if length != 0xFFFFFFFF else end
+            if tag == TAG_PER_FRAME_SEQ:
+                offset = _parse_per_frame_sequence(
+                    data, offset, seq_end, ds,
+                    explicit=explicit,
+                    undefined=length == 0xFFFFFFFF,
+                )
+                continue
             offset = _parse_sequence(
                 data, offset, seq_end, ds,
                 explicit=explicit,
@@ -149,6 +172,8 @@ def _parse_elements(  # noqa: C901, PLR0912
             ds.elements[tag] = struct.unpack("<H", value)[0]
         elif vr == b"UL" and length == 4:
             ds.elements[tag] = struct.unpack("<I", value)[0]
+        elif vr == b"SL" and length == 4:
+            ds.elements[tag] = struct.unpack("<i", value)[0]
         elif tag not in ds.elements:  # first (outermost/shared) value wins
             ds.elements[tag] = value
     return offset
@@ -171,6 +196,38 @@ def _parse_sequence(
             )
         else:
             break
+        if not undefined and offset >= end:
+            return end
+    return offset if undefined else end
+
+
+def _parse_per_frame_sequence(
+    data: bytes, offset: int, end: int, ds: DicomDataset, *, explicit: bool, undefined: bool
+) -> int:
+    """Walk PerFrameFunctionalGroupsSequence: one position per item.
+
+    Each frame item nests a PlanePositionSlideSequence carrying the
+    frame's 1-based (row, col) pixel position in the total matrix
+    (wsidicom semantics for TILED_SPARSE; reference consumes them via
+    wsidicom in ``wsireader.py:5191-5724``).
+    """
+    while offset + 8 <= end:
+        group, element = struct.unpack_from("<HH", data, offset)
+        if (group, element) == TAG_SEQ_END:
+            return offset + 8
+        if (group, element) != TAG_ITEM:
+            break
+        (length,) = struct.unpack_from("<I", data, offset + 4)
+        offset += 8
+        item_end = offset + length if length != 0xFFFFFFFF else end
+        item_ds = DicomDataset()
+        offset = _parse_elements(
+            data, offset, item_end, item_ds,
+            explicit=explicit, capture_pixels=False,
+        )
+        row = item_ds.get_int(TAG_ROW_POS, 0)
+        col = item_ds.get_int(TAG_COL_POS, 0)
+        ds.frame_positions.append((row, col))
         if not undefined and offset >= end:
             return end
     return offset if undefined else end
@@ -295,6 +352,80 @@ class DicomFile:
     def ds_frames_native(self) -> bytes:
         return self.ds.frames[0]
 
+    # -- organisation / concatenation ------------------------------------------
+
+    @property
+    def photometric(self) -> str:
+        return self.ds.get_str(TAG_PHOTOMETRIC, "RGB").upper()
+
+    @property
+    def is_sparse(self) -> bool:
+        """TILED_SPARSE: explicit per-frame positions govern placement.
+
+        Per the standard, organisation defaults to sparse when
+        DimensionOrganizationType is absent but per-frame positions are
+        present and don't cover the full row-major grid.
+        """
+        org = self.ds.get_str(TAG_DIM_ORG_TYPE).upper()
+        if org == "TILED_FULL":
+            return False
+        return bool(self.ds.frame_positions)
+
+    @property
+    def concatenation_uid(self) -> str:
+        return self.ds.get_str(TAG_CONCAT_UID, "")
+
+    @property
+    def concatenation_offset(self) -> int:
+        return self.ds.get_int(TAG_CONCAT_OFFSET, 0)
+
+
+class _DicomLevel:
+    """One pyramid level: a single instance or a concatenation group.
+
+    Presents a uniform frame-grid API to ``DicomSlide.read_region``:
+    ``frame_for_cell(fy, fx)`` resolves a grid cell to a decodable
+    (instance, local_frame_index) pair — via the row-major rule for
+    TILED_FULL, or the merged sparse frame map for TILED_SPARSE —
+    or None for unoccupied (background) cells.
+    """
+
+    def __init__(self, parts: list[DicomFile]) -> None:
+        parts = sorted(parts, key=lambda p: p.concatenation_offset)
+        self.parts = parts
+        head = parts[0]
+        self.frame_shape = head.frame_shape
+        self.total_shape = head.total_shape
+        self.mpp = head.mpp
+        self.spp = head.ds.get_int(TAG_SAMPLES_PER_PIXEL, 3)
+        # brightfield colour slides read white where no tile exists
+        self.fill_value = 0 if "MONOCHROME" in head.photometric else 255
+        rows, cols = self.frame_shape
+        self._cells: dict[tuple[int, int], tuple[DicomFile, int]] = {}
+        sparse = any(p.is_sparse for p in parts)
+        if sparse:
+            for part in parts:
+                for local_idx, (row_px, col_px) in enumerate(
+                    part.ds.frame_positions
+                ):
+                    cell = ((row_px - 1) // rows, (col_px - 1) // cols)
+                    self._cells[cell] = (part, local_idx)
+        else:
+            frames_across = -(-self.total_shape[1] // cols)
+            for part in parts:
+                offset = part.concatenation_offset
+                for local_idx in range(part.n_frames):
+                    global_idx = offset + local_idx
+                    cell = (global_idx // frames_across, global_idx % frames_across)
+                    self._cells[cell] = (part, local_idx)
+
+    @property
+    def n_frames(self) -> int:
+        return sum(p.n_frames for p in self.parts)
+
+    def frame_for_cell(self, fy: int, fx: int):
+        return self._cells.get((fy, fx))
+
 
 class DicomSlide:
     """A pyramid of DICOM instances (a directory, series, or one file)."""
@@ -315,30 +446,46 @@ class DicomSlide:
             if "LABEL" not in inst.ds.get_str(TAG_IMAGE_TYPE)
             and "OVERVIEW" not in inst.ds.get_str(TAG_IMAGE_TYPE)
         ] or instances
-        volumes.sort(key=lambda i: -i.total_shape[1])
-        self.levels = volumes
+        # group concatenated instances (shared ConcatenationUID) into
+        # one level; standalone instances form their own level
+        groups: dict[str, list[DicomFile]] = {}
+        for inst in volumes:
+            key = inst.concatenation_uid or f"__solo_{id(inst)}"
+            groups.setdefault(key, []).append(inst)
+        levels = [_DicomLevel(parts) for parts in groups.values()]
+        levels.sort(key=lambda lv: -lv.total_shape[1])
+        self.levels = levels
 
     def read_region(self, level: int, location, size) -> np.ndarray:
-        """Read (x, y, w, h) from a level, assembling TILED_FULL frames."""
-        inst = self.levels[level]
-        rows, cols = inst.frame_shape
-        total_rows, total_cols = inst.total_shape
-        frames_across = -(-total_cols // cols)
+        """Read (x, y, w, h) from a level, assembling tile frames.
+
+        TILED_FULL levels place frames row-major; TILED_SPARSE levels
+        use the per-frame position map and fill unoccupied cells with
+        the background value (white for colour, black for monochrome).
+        """
+        lv = self.levels[level]
+        rows, cols = lv.frame_shape
+        total_rows, total_cols = lv.total_shape
         x0, y0 = int(location[0]), int(location[1])
         w, h = int(size[0]), int(size[1])
-        spp = inst.ds.get_int(TAG_SAMPLES_PER_PIXEL, 3)
-        out = np.zeros((h, w, spp), np.uint8)
+        spp = lv.spp
+        out = np.full((h, w, spp), lv.fill_value, np.uint8)
+        # out-of-matrix padding stays zero (reader pad semantics)
+        pad_mask = np.ones((h, w), bool)
         ix0, iy0 = max(x0, 0), max(y0, 0)
         ix1 = min(x0 + w, total_cols)
         iy1 = min(y0 + h, total_rows)
         if ix1 <= ix0 or iy1 <= iy0:
-            return out
+            return np.zeros((h, w, spp), np.uint8)
+        pad_mask[iy0 - y0 : iy1 - y0, ix0 - x0 : ix1 - x0] = False
+        out[pad_mask] = 0
         for fy in range(iy0 // rows, (iy1 - 1) // rows + 1):
             for fx in range(ix0 // cols, (ix1 - 1) // cols + 1):
-                idx = fy * frames_across + fx
-                if idx >= inst.n_frames:
-                    continue
-                frame = inst.decode_frame(idx)
+                hit = lv.frame_for_cell(fy, fx)
+                if hit is None:
+                    continue  # sparse background cell
+                part, local_idx = hit
+                frame = part.decode_frame(local_idx)
                 fx0, fy0 = fx * cols, fy * rows
                 sx0, sy0 = max(ix0 - fx0, 0), max(iy0 - fy0, 0)
                 sx1 = min(ix1 - fx0, cols)

@@ -212,7 +212,12 @@ class MiraxFile:
         )
 
     def decode_tile(self, level: int, tx: int, ty: int) -> np.ndarray | None:
-        """Decode one camera tile to RGB, or None if absent."""
+        """Decode one camera tile to RGB, or None if absent/unreadable.
+
+        Tiles whose data file is missing, whose payload is truncated,
+        or whose bitstream fails to decode read as fill colour (the
+        container stays usable with partial data, as OpenSlide does).
+        """
         import cv2
 
         lv = self.levels[level]
@@ -220,9 +225,12 @@ class MiraxFile:
         if entry is None:
             return None
         fileno, offset, length = entry
-        with self.data_files[fileno].open("rb") as fh:
-            fh.seek(offset)
-            payload = fh.read(length)
+        try:
+            with self.data_files[fileno].open("rb") as fh:
+                fh.seek(offset)
+                payload = fh.read(length)
+        except (OSError, IndexError):
+            return None
         img = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
         if img is None:
             return None
