@@ -47,32 +47,31 @@ def iter_dataset(root: Path, limit: int | None):
                 return
 
 
-def main() -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--weights", required=True)
-    parser.add_argument("--data", required=True)
-    parser.add_argument("--limit", type=int, default=None)
-    parser.add_argument("--batch-size", type=int, default=128)
-    args = parser.parse_args()
-
+def evaluate(
+    weights: str | Path,
+    data: str | Path,
+    limit: int | None = None,
+    batch_size: int = 128,
+) -> dict:
+    """Run the evaluation; returns {accuracy, per_class, confusion,
+    patches_per_sec, n}. Raises ValueError when no patches are found."""
     from tiatoolbox_tpu.models.architecture import get_pretrained_model
     from tiatoolbox_tpu.utils.misc import imread
 
     model, _ = get_pretrained_model(
-        "resnet18-kather100k", pretrained_weights=args.weights
+        "resnet18-kather100k", pretrained_weights=weights
     )
 
-    samples = list(iter_dataset(Path(args.data), args.limit))
+    samples = list(iter_dataset(Path(data), limit))
     if not samples:
-        print("No dataset patches found; check --data layout.")
-        return 2
-    print(f"Evaluating {len(samples)} patches...")
+        msg = "No dataset patches found; check --data layout."
+        raise ValueError(msg)
 
     correct = 0
     confusion = np.zeros((9, 9), np.int64)
     t0 = time.perf_counter()
-    for start in range(0, len(samples), args.batch_size):
-        chunk = samples[start : start + args.batch_size]
+    for start in range(0, len(samples), batch_size):
+        chunk = samples[start : start + batch_size]
         batch = np.stack([imread(p) for p, _ in chunk])
         labels = np.array([lab for _, lab in chunk])
         probs = np.asarray(model.infer_batch(model, batch))
@@ -81,16 +80,40 @@ def main() -> int:
         for t, p in zip(labels, preds):
             confusion[t, p] += 1
     elapsed = time.perf_counter() - t0
+    per_class = {
+        name: float(confusion[i, i] / confusion[i].sum())
+        for i, name in enumerate(KATHER_CLASSES)
+        if confusion[i].sum()
+    }
+    return {
+        "accuracy": correct / len(samples),
+        "per_class": per_class,
+        "confusion": confusion,
+        "patches_per_sec": len(samples) / elapsed,
+        "n": len(samples),
+    }
 
-    accuracy = correct / len(samples)
-    print(f"overall accuracy: {accuracy:.4f}")
-    print(f"throughput: {len(samples) / elapsed:.1f} patches/s")
-    for i, name in enumerate(KATHER_CLASSES):
-        total = confusion[i].sum()
-        if total:
-            print(f"  {name}: {confusion[i, i] / total:.4f} ({total} patches)")
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", required=True)
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=128)
+    args = parser.parse_args()
+
+    try:
+        result = evaluate(args.weights, args.data, args.limit, args.batch_size)
+    except ValueError as exc:
+        print(exc)
+        return 2
+    print(f"Evaluated {result['n']} patches")
+    print(f"overall accuracy: {result['accuracy']:.4f}")
+    print(f"throughput: {result['patches_per_sec']:.1f} patches/s")
+    for name, acc in result["per_class"].items():
+        print(f"  {name}: {acc:.4f}")
     # reference reports ~0.97+ accuracy for resnet18 on Kather100k
-    return 0 if accuracy > 0.9 else 1
+    return 0 if result["accuracy"] > 0.9 else 1
 
 
 if __name__ == "__main__":
