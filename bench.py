@@ -453,10 +453,10 @@ def bench_multitask_segmentor() -> dict:
     ensure_hovernet_bench_checkpoint()
 
     slide_path = f"/tmp/bench_mts_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(1536, 1024), mpp=0.25, objective_power=40)
+    make_synthetic_slide(slide_path, size=(2048, 1536), mpp=0.25, objective_power=40)
     model, ioconfig = get_pretrained_model("hovernet_fast-pannuke")
     model.optimize_for_inference()
-    seg = MultiTaskSegmentor(model, batch_size=16, num_loader_workers=0)
+    seg = MultiTaskSegmentor(model, batch_size=32, num_loader_workers=0)
     # warm on the SAME slide (all programs are shape-keyed)
     seg.run(
         [slide_path],
@@ -478,14 +478,14 @@ def bench_multitask_segmentor() -> dict:
     elapsed = time.perf_counter() - t0
     result = next(iter(out.values()))
     n_inst = len(result.get("instances", result))
-    mpix = 1536 * 1024 / 1e6
+    mpix = 2048 * 1536 / 1e6
 
     # Link-invariant device-plane rate: N chained forwards, slope-style
     # short chain (the big chain compile is not worth it here).
     import jax
     import jax.numpy as jnp
 
-    x = jax.device_put(np.random.randint(0, 255, (16, 256, 256, 3), np.uint8))
+    x = jax.device_put(np.random.randint(0, 255, (32, 256, 256, 3), np.uint8))
     module, variables = model.module, model.variables
 
     def make_chain(n_iter):
@@ -512,7 +512,7 @@ def bench_multitask_segmentor() -> dict:
         return best
 
     per_iter = (best_secs(make_chain(13)) - best_secs(make_chain(3))) / 10
-    dev_mpix = 16 * 256 * 256 / per_iter / 1e6
+    dev_mpix = 32 * 256 * 256 / per_iter / 1e6
 
     return {
         "mpix_per_sec": mpix / elapsed,

@@ -24,4 +24,10 @@ httpd, port = server.run_in_thread()
 print(f"viewer: http://127.0.0.1:{port}/viewer")
 print("  - load overlay: /tmp/example_viz_store.db")
 print("  - filter, recolor by prob, open the stats pane")
+print("  - 'segment box': drag a rectangle to run the registry's")
+print("    nucleus instance segmentor on it (needs a cached checkpoint;")
+print("    see scripts/make_bench_checkpoints.py for a local one)")
+print("  - 'SAM points' + 'run SAM': prompt segmentation (SAM weights)")
+print("  - 'load graph': overlay SlideGraph nodes/edges from .json/.npz,")
+print("    then colour nodes by any feat_* property")
 httpd.shutdown()  # remove this line to keep serving
