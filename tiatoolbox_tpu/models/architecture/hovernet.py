@@ -25,6 +25,10 @@ from tiatoolbox_tpu.models.architecture.utils import (
     upsample2x,
 )
 from tiatoolbox_tpu.models.models_abc import ModelABC
+
+import threading
+
+_POSTPROC_TIMING_LOCK = threading.Lock()
 from tiatoolbox_tpu.utils.misc import get_bounding_box
 
 
@@ -448,14 +452,17 @@ class HoVerNet(ModelABC):
         pred_inst = HoVerNet._proc_np_hv(np_map, hv_map)
         t1 = _time.perf_counter()
         info_dict = HoVerNet.get_instance_info(pred_inst, tp_map, offset)
+        t2 = _time.perf_counter()
         # per-call stage split for engine/bench attribution (accumulated
-        # across tile-mode calls; engines reset between runs)
-        acc = getattr(self, "last_postproc_seconds", None) or {
-            "watershed": 0.0, "instance_info": 0.0,
-        }
-        acc["watershed"] += t1 - t0
-        acc["instance_info"] += _time.perf_counter() - t1
-        self.last_postproc_seconds = acc
+        # across tile-mode calls — which run on a thread pool, hence the
+        # lock; engines reset between runs)
+        with _POSTPROC_TIMING_LOCK:
+            acc = getattr(self, "last_postproc_seconds", None) or {
+                "watershed": 0.0, "instance_info": 0.0,
+            }
+            acc["watershed"] += t1 - t0
+            acc["instance_info"] += t2 - t1
+            self.last_postproc_seconds = acc
 
         if not info_dict:
             columns = {

@@ -562,79 +562,120 @@ class MultiTaskSegmentor(SemanticSegmentor):
         accumulated instances cut by its margin lines
         (``_process_instance_predictions`` :2833-3040).
         """
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         w, h = int(canvas_wh[0]), int(canvas_wh[1])
         instances: dict = {}
         semantic: dict = {}
         tile_sets = self._get_tile_info((w, h))
-        for tile_mode, (boxes, flags) in enumerate(tile_sets):
-            for tile_box, tile_flag in zip(boxes, flags):
-                # slice clipped to the canvas; removal geometry uses the
-                # NOMINAL bounds (reference :1256-1258 tile_shape =
-                # tile_br - tile_tl from the unclipped tile info).
-                nx0, ny0 = int(tile_box[0]), int(tile_box[1])
-                nx1, ny1 = int(tile_box[2]), int(tile_box[3])
-                x0, y0 = max(nx0, 0), max(ny0, 0)
-                x1, y1 = min(nx1, w), min(ny1, h)
-                if x1 <= x0 or y1 <= y0:
-                    continue
-                maps = [np.asarray(m[y0:y1, x0:x1]) for m in head_maps]
-                results = self.model.postproc_func(maps)
-                if tile_mode == 0:
-                    # grid tiles exactly cover the canvas: write
-                    # semantic-task predictions into full-size canvases
-                    # (reference _update_tile_based_predictions_array)
-                    for task in results:
-                        if (
-                            task.get("seg_type") != "semantic"
-                            or "predictions" not in task
-                        ):
+
+        def compute_tile(job):
+            """Per-tile slice + postproc + instance extraction (pure;
+            runs on worker threads — cv2/scipy/the native watershed all
+            release the GIL, so tiles post-process in parallel, the
+            TPU-native analogue of the reference's threaded dask batches
+            ``multi_task_segmentor.py:1181-1222``)."""
+            tile_box, tile_flag = job
+            # slice clipped to the canvas; removal geometry uses the
+            # NOMINAL bounds (reference :1256-1258 tile_shape =
+            # tile_br - tile_tl from the unclipped tile info).
+            nx0, ny0 = int(tile_box[0]), int(tile_box[1])
+            nx1, ny1 = int(tile_box[2]), int(tile_box[3])
+            x0, y0 = max(nx0, 0), max(ny0, 0)
+            x1, y1 = min(nx1, w), min(ny1, h)
+            if x1 <= x0 or y1 <= y0:
+                return None
+            maps = [np.asarray(m[y0:y1, x0:x1]) for m in head_maps]
+            results = self.model.postproc_func(maps)
+            tile_instances = self._results_to_instance_dict(
+                results, offset=(x0 - nx0, y0 - ny0)
+            )
+            return (tile_flag, (nx0, ny0, nx1, ny1), (x0, y0, x1, y1),
+                    results, tile_instances)
+
+        n_workers = max(1, min(8, (os.cpu_count() or 2) - 1))
+        with ThreadPoolExecutor(n_workers) as pool:
+            for tile_mode, (boxes, flags) in enumerate(tile_sets):
+                jobs = list(zip(boxes, flags))
+                # bounded in-flight window so at most ~2*n_workers tile
+                # results are resident (reference sizes its delayed
+                # batches by free RAM, :2739)
+                window = 2 * n_workers
+                for b0 in range(0, len(jobs), window):
+                    chunk = jobs[b0 : b0 + window]
+                    for computed in pool.map(compute_tile, chunk):
+                        if computed is None:
                             continue
-                        name = task["task_type"]
-                        if name not in semantic:
-                            semantic[name] = create_smart_array(
-                                (h, w),
-                                np.asarray(task["predictions"]).dtype,
-                                save_dir=self.cache_dir,
-                                memory_fraction=self.memory_threshold,
-                                name=f"semantic_{name}",
-                            )
-                        semantic[name][y0:y1, x0:x1] = np.asarray(
-                            task["predictions"]
-                        )[: y1 - y0, : x1 - x0]
-                tile_instances = self._results_to_instance_dict(
-                    results, offset=(x0 - nx0, y0 - ny0)
-                )
-                if not tile_instances:
-                    continue
-                keys = list(tile_instances)
-                inst_boxes = np.array(
-                    [np.asarray(tile_instances[k]["box"], float) for k in keys]
-                )
-                removal = self._select_tile_removals(
-                    inst_boxes, (nx1 - nx0, ny1 - ny0), tile_flag, tile_mode
-                )
-                if tile_mode == 3:
-                    # evict accumulated instances cut by this tile's margin lines
-                    acc_keys = list(instances)
-                    if acc_keys:
-                        acc_boxes = np.array(
-                            [np.asarray(instances[k]["box"], float) for k in acc_keys]
+                        (tile_flag, (nx0, ny0, nx1, ny1),
+                         (x0, y0, x1, y1), results, tile_instances) = computed
+                        self._merge_tile_results(
+                            instances, semantic, results, tile_instances,
+                            tile_flag, tile_mode,
+                            (nx0, ny0, nx1, ny1), (x0, y0, x1, y1), (w, h),
                         )
-                        evict = np.zeros(len(acc_keys), dtype=bool)
-                        for line in self._margin_lines((nx0, ny0, nx1, ny1)):
-                            evict |= self._boxes_intersect(acc_boxes, line)
-                        for k in np.asarray(acc_keys)[evict]:
-                            instances.pop(k, None)
-                offset = np.array([nx0, ny0])
-                for k, keep in zip(keys, ~removal):
-                    if not keep:
-                        continue
-                    info = tile_instances[k]
-                    info["box"] = np.asarray(info["box"]) + np.tile(offset, 2)
-                    info["centroid"] = np.asarray(info["centroid"]) + offset
-                    info["contours"] = np.asarray(info["contours"]) + offset
-                    instances[k] = info
         return instances, semantic
+
+    def _merge_tile_results(  # noqa: PLR0913
+        self, instances, semantic, results, tile_instances,
+        tile_flag, tile_mode, nominal, clipped, canvas_wh,
+    ) -> None:
+        """Serial (ordered) merge of one tile's postproc results."""
+        nx0, ny0, nx1, ny1 = nominal
+        x0, y0, x1, y1 = clipped
+        w, h = canvas_wh
+        if tile_mode == 0:
+            # grid tiles exactly cover the canvas: write semantic-task
+            # predictions into full-size canvases (reference
+            # _update_tile_based_predictions_array)
+            for task in results:
+                if (
+                    task.get("seg_type") != "semantic"
+                    or "predictions" not in task
+                ):
+                    continue
+                name = task["task_type"]
+                if name not in semantic:
+                    semantic[name] = create_smart_array(
+                        (h, w),
+                        np.asarray(task["predictions"]).dtype,
+                        save_dir=self.cache_dir,
+                        memory_fraction=self.memory_threshold,
+                        name=f"semantic_{name}",
+                    )
+                semantic[name][y0:y1, x0:x1] = np.asarray(
+                    task["predictions"]
+                )[: y1 - y0, : x1 - x0]
+        if not tile_instances:
+            return
+        keys = list(tile_instances)
+        inst_boxes = np.array(
+            [np.asarray(tile_instances[k]["box"], float) for k in keys]
+        )
+        removal = self._select_tile_removals(
+            inst_boxes, (nx1 - nx0, ny1 - ny0), tile_flag, tile_mode
+        )
+        if tile_mode == 3:
+            # evict accumulated instances cut by this tile's margin lines
+            acc_keys = list(instances)
+            if acc_keys:
+                acc_boxes = np.array(
+                    [np.asarray(instances[k]["box"], float) for k in acc_keys]
+                )
+                evict = np.zeros(len(acc_keys), dtype=bool)
+                for line in self._margin_lines((nx0, ny0, nx1, ny1)):
+                    evict |= self._boxes_intersect(acc_boxes, line)
+                for k in np.asarray(acc_keys)[evict]:
+                    instances.pop(k, None)
+        offset = np.array([nx0, ny0])
+        for k, keep in zip(keys, ~removal):
+            if not keep:
+                continue
+            info = tile_instances[k]
+            info["box"] = np.asarray(info["box"]) + np.tile(offset, 2)
+            info["centroid"] = np.asarray(info["centroid"]) + offset
+            info["contours"] = np.asarray(info["contours"]) + offset
+            instances[k] = info
 
     @staticmethod
     def _results_to_instance_dict(results, offset=(0, 0)) -> dict:
