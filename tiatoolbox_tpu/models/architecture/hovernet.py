@@ -300,50 +300,69 @@ class HoVerNet(ModelABC):
     ) -> np.ndarray:
         """NP+HV maps → labelled instance map via Sobel-energy watershed.
 
-        Numerically matched to reference ``hovernet.py:503-617``.
+        Numerically matched to reference ``hovernet.py:503-617`` — same
+        op order and dtype promotions; every large intermediate lives in
+        a per-thread per-shape scratch pool (``out=``/``dst=``) because
+        fresh 12–25 MB temporaries cost more in kernel page-zeroing
+        (mmap/munmap churn) than the arithmetic itself on small hosts.
         """
         blb_raw = np_map[..., 0]
         h_dir_raw = hv_map[..., 0]
         v_dir_raw = hv_map[..., 1]
+        sc = _proc_scratch(blb_raw.shape)
 
-        blb = np.array(blb_raw >= 0.5, dtype=np.int32)
-        blb = ndimage.label(blb)[0]
-        blb = _remove_small_objects(blb, min_size=10)
-        blb[blb > 0] = 1
+        fg = np.greater_equal(blb_raw, 0.5, out=sc["bool_a"])
+        blb = sc["i32_a"]
+        ndimage.label(fg, output=blb)
+        blb = _remove_small_objects(blb, min_size=10, in_place=True)
+        np.minimum(blb, 1, out=blb)
 
         h_dir = cv2.normalize(
-            h_dir_raw, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+            sc.contiguous("src_h", h_dir_raw), sc["f32_a"],
+            alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F,
         )
         v_dir = cv2.normalize(
-            v_dir_raw, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+            sc.contiguous("src_v", v_dir_raw), sc["f32_b"],
+            alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F,
         )
 
         ksize = int((20 * scale_factor) + 1)
         obj_size = math.ceil(10 * (scale_factor**2))
-        sobel_h = cv2.Sobel(h_dir, cv2.CV_64F, 1, 0, ksize=ksize)
-        sobel_v = cv2.Sobel(v_dir, cv2.CV_64F, 0, 1, ksize=ksize)
-        sobel_h = 1 - cv2.normalize(
-            sobel_h, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+        sobel_h64 = cv2.Sobel(h_dir, cv2.CV_64F, 1, 0, sc["f64_a"], ksize=ksize)
+        sobel_v64 = cv2.Sobel(v_dir, cv2.CV_64F, 0, 1, sc["f64_b"], ksize=ksize)
+        # h_dir/v_dir (f32_a/f32_b) are dead past here; reuse as the
+        # normalized-Sobel destinations
+        sobel_h = cv2.normalize(
+            sobel_h64, sc["f32_a"],
+            alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F,
         )
-        sobel_v = 1 - cv2.normalize(
-            sobel_v, None, alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F
+        sobel_v = cv2.normalize(
+            sobel_v64, sc["f32_b"],
+            alpha=0, beta=1, norm_type=cv2.NORM_MINMAX, dtype=cv2.CV_32F,
         )
+        np.subtract(1, sobel_h, out=sobel_h)
+        np.subtract(1, sobel_v, out=sobel_v)
 
-        overall = np.maximum(sobel_h, sobel_v)
-        overall = overall - (1 - blb)
-        overall[overall < 0] = 0
+        overall32 = np.maximum(sobel_h, sobel_v, out=sobel_h)
+        one_minus_blb = np.subtract(1, blb, out=sc["i32_b"])
+        # f32 − i32 promotes to f64 (reference semantics)
+        overall = np.subtract(overall32, one_minus_blb, out=sc["f64_a"])
+        np.maximum(overall, 0, out=overall)
 
-        dist = (1.0 - overall) * blb
-        dist = -cv2.GaussianBlur(dist, (3, 3), 0)
+        dist = np.subtract(1.0, overall, out=sc["f64_b"])
+        np.multiply(dist, blb, out=dist)
+        dist = cv2.GaussianBlur(dist, (3, 3), 0, sc["f64_c"])
+        np.negative(dist, out=dist)
 
-        overall = np.array(overall >= 0.4, dtype=np.int32)
-        marker = blb - overall
-        marker[marker < 0] = 0
-        marker = ndimage.binary_fill_holes(marker).astype("uint8")
+        thresh = np.greater_equal(overall, 0.4, out=sc["bool_a"])
+        marker = np.subtract(blb, thresh, out=sc["i32_b"])
+        np.maximum(marker, 0, out=marker)
+        marker_u8 = sc["u8_a"]
+        ndimage.binary_fill_holes(marker, output=marker_u8)
         kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
-        marker = cv2.morphologyEx(marker, cv2.MORPH_OPEN, kernel)
-        marker = ndimage.label(marker)[0]
-        marker = _remove_small_objects(marker, min_size=obj_size)
+        marker_u8 = cv2.morphologyEx(marker_u8, cv2.MORPH_OPEN, kernel, sc["u8_b"])
+        ndimage.label(marker_u8, output=marker)
+        marker = _remove_small_objects(marker, min_size=obj_size, in_place=True)
 
         return _watershed(dist, markers=marker, mask=blb)
 
@@ -487,14 +506,68 @@ class HoVerNet(ModelABC):
         return (nuclei_seg,)
 
 
-def _remove_small_objects(labelled: np.ndarray, min_size: int) -> np.ndarray:
+_SCRATCH_DTYPES = {
+    "f64": np.float64,
+    "f32": np.float32,
+    "i32": np.int32,
+    "u8": np.uint8,
+    "bool": np.bool_,
+}
+
+
+class _Scratch(threading.local):
+    """Per-thread pool of named reusable arrays for one map shape.
+
+    Only the most recent shape is kept, so memory stays bounded at one
+    working set per postproc thread.
+    """
+
+    shape: tuple | None = None
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        bufs = getattr(self, "bufs", None)
+        if bufs is None:
+            bufs = self.bufs = {}
+        buf = bufs.get(key)
+        if buf is None:
+            dtype = _SCRATCH_DTYPES[key.rsplit("_", 1)[0]]
+            buf = bufs[key] = np.empty(self.shape, dtype)
+        return buf
+
+    def contiguous(self, key: str, arr: np.ndarray) -> np.ndarray:
+        """A C-contiguous view of ``arr`` (copied into scratch if needed)."""
+        if arr.flags.c_contiguous:
+            return arr
+        bufs = getattr(self, "bufs", None)
+        if bufs is None:
+            bufs = self.bufs = {}
+        buf = bufs.get(key)
+        if buf is None or buf.dtype != arr.dtype:
+            buf = bufs[key] = np.empty(self.shape, arr.dtype)
+        np.copyto(buf, arr)
+        return buf
+
+
+_SCRATCH = _Scratch()
+
+
+def _proc_scratch(shape: tuple) -> _Scratch:
+    if _SCRATCH.shape != shape:
+        _SCRATCH.shape = shape
+        _SCRATCH.bufs = {}
+    return _SCRATCH
+
+
+def _remove_small_objects(
+    labelled: np.ndarray, min_size: int, *, in_place: bool = False
+) -> np.ndarray:
     """Zero out labelled components smaller than min_size pixels."""
     if min_size <= 1 or labelled.max() == 0:
         return labelled
     counts = np.bincount(labelled.ravel())
     too_small = counts < min_size
     too_small[0] = False
-    out = labelled.copy()
+    out = labelled if in_place else labelled.copy()
     out[too_small[labelled]] = 0
     return out
 
