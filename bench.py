@@ -514,11 +514,26 @@ def bench_multitask_segmentor() -> dict:
     per_iter = (best_secs(make_chain(13)) - best_secs(make_chain(3))) / 10
     dev_mpix = 32 * 256 * 256 / per_iter / 1e6
 
+    # XLA-reported FLOPs of one forward → device-plane MFU attribution
+    # (measured r03: ~9.5 TFLOP per batch-32, ~0.65 MFU — the MTS e2e
+    # gap is link fetch, not compute).
+    try:
+        lowered = jax.jit(
+            lambda v, xb: module.apply(v, xb.astype(jnp.bfloat16))
+        ).lower(variables, x)
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fwd_flops = float(ca.get("flops", 0.0))
+        dev_mfu = fwd_flops / per_iter / V5E_BF16_PEAK if fwd_flops else None
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        dev_mfu = None
+
     return {
         "mpix_per_sec": mpix / elapsed,
         "instances": n_inst,
         "instances_per_sec": n_inst / elapsed,
         "device_mpix_per_sec": dev_mpix,
+        "device_mfu": dev_mfu,
         "stages": seg.last_stage_summary,
     }
 
@@ -602,6 +617,7 @@ def main() -> None:
         "hovernet_instances_per_sec": _r(mts["instances_per_sec"]),
         "hovernet_instances": mts.get("instances"),
         "hovernet_device_mpix_per_sec": _r(mts.get("device_mpix_per_sec")),
+        "hovernet_device_mfu": _r(mts.get("device_mfu")),
         "hovernet_stages": mts.get("stages"),
         "n_patches": pp["n_patches"],
     }
