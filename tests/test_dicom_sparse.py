@@ -125,3 +125,92 @@ class TestReaderIntegration:
         assert np.all(region[:128, 128:] == 255)
         expected = synthetic_he_patch((W, H), seed=5)[:128, :128]
         np.testing.assert_array_equal(region[:128, :128], expected)
+
+
+class TestImplicitVR:
+    """Implicit-VR little-endian datasets (no VR bytes in elements).
+
+    Defined-length sequences are indistinguishable from binary values
+    without a dictionary; the parser recurses into the known WSI
+    sequence tags and decodes raw-binary US/UL/SL integer values.
+    """
+
+    def test_implicit_full_matches_explicit(self, tmp_path_factory, full_slide) -> None:
+        path = tmp_path_factory.mktemp("div") / "imp.dcm"
+        make_synthetic_dicom(
+            path, size=(W, H), frame_size=F, mpp=0.5, seed=5, explicit=False
+        )
+        slide = DicomSlide(path)
+        got = slide.read_region(0, (0, 0), (W, H))
+        ref = full_slide.read_region(0, (0, 0), (W, H))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_implicit_sparse_positions_respected(
+        self, tmp_path_factory, full_slide
+    ) -> None:
+        path = tmp_path_factory.mktemp("div") / "imp_sparse.dcm"
+        make_synthetic_dicom(
+            path, size=(W, H), frame_size=F, mpp=0.5, seed=5,
+            sparse=True, explicit=False,
+        )
+        slide = DicomSlide(path)
+        lv = slide.levels[0]
+        assert any(p.is_sparse for p in lv.parts)
+        ref = full_slide.read_region(0, (0, 0), (W, H))
+        got = slide.read_region(0, (0, 0), (W, H))
+        for fy in range(3):
+            for fx in range(4):
+                sl = np.s_[fy * F : (fy + 1) * F, fx * F : (fx + 1) * F]
+                if (fy + fx) % 2 == 0:
+                    np.testing.assert_array_equal(got[sl], ref[sl])
+                else:
+                    assert np.all(got[sl] == 255)
+
+    def test_implicit_concat_offsets_decoded(
+        self, tmp_path_factory, full_slide
+    ) -> None:
+        """Binary UL ConcatenationFrameOffsetNumber places each part."""
+        tmp = tmp_path_factory.mktemp("divc")
+        make_synthetic_dicom(
+            tmp / "c.dcm", size=(W, H), frame_size=F, mpp=0.5, seed=5,
+            n_concat=3, explicit=False,
+        )
+        slide = DicomSlide(tmp)
+        assert len(slide.levels) == 1
+        got = slide.read_region(0, (0, 0), (W, H))
+        ref = full_slide.read_region(0, (0, 0), (W, H))
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestMixedOrganisationGroup:
+    def test_dense_part_in_sparse_group_not_dropped(
+        self, tmp_path_factory, full_slide
+    ) -> None:
+        """A part without per-frame positions concatenated with a
+        sparse part keeps its frames (row-major via its concatenation
+        offset) instead of silently reading as background."""
+        from tiatoolbox_tpu.wsicore.dicom import TAG_DIM_ORG_TYPE, _DicomLevel
+
+        tmp = tmp_path_factory.mktemp("dmix")
+        make_synthetic_dicom(
+            tmp / "c.dcm", size=(W, H), frame_size=F, mpp=0.5, seed=5,
+            n_concat=2,
+        )
+        slide = DicomSlide(tmp)
+        parts = sorted(
+            slide.levels[0].parts, key=lambda p: p.concatenation_offset
+        )
+        assert len(parts) == 2 and not any(p.is_sparse for p in parts)
+        # simulate part 0 carrying explicit per-frame positions (its
+        # true row-major cells) while part 1 has none: the group is now
+        # "sparse" but part 1's frames must still place by offset
+        frames_across = -(-W // F)
+        for local_idx in range(parts[0].n_frames):
+            fy, fx = divmod(local_idx, frames_across)
+            parts[0].ds.frame_positions.append((fy * F + 1, fx * F + 1))
+        parts[0].ds.elements[TAG_DIM_ORG_TYPE] = b"TILED_SPARSE"
+        assert parts[0].is_sparse
+        slide.levels[0] = _DicomLevel(parts)
+        got = slide.read_region(0, (0, 0), (W, H))
+        ref = full_slide.read_region(0, (0, 0), (W, H))
+        np.testing.assert_array_equal(got, ref)

@@ -133,6 +133,16 @@ def _dicom_element(group, elem, vr, value: bytes) -> bytes:
     return head + struct.pack("<H", len(value)) + value
 
 
+def _dicom_element_implicit(group, elem, vr, value: bytes) -> bytes:
+    """Implicit VR LE: tag + 4-byte length, no VR bytes (vr ignored)."""
+    import struct
+
+    del vr
+    if len(value) % 2:
+        value += b"\x00"
+    return struct.pack("<HHI", group, elem, len(value)) + value
+
+
 def _dicom_seq_item(content: bytes) -> bytes:
     import struct
 
@@ -149,11 +159,12 @@ def make_synthetic_dicom(
     sparse: bool = False,
     sparse_keep=None,
     n_concat: int = 1,
+    explicit: bool = True,
 ) -> Path | list[Path]:
     """Write a minimal WSI DICOM instance (native pixels).
 
-    Exercises the in-package DICOM parser; explicit VR little endian,
-    uncompressed RGB frames.
+    Exercises the in-package DICOM parser; explicit or implicit VR
+    little endian, uncompressed RGB frames.
 
     Args:
         sparse: Emit TILED_SPARSE organisation — only tiles selected by
@@ -165,6 +176,8 @@ def make_synthetic_dicom(
             instances (shared ConcatenationUID + frame offsets). When
             >1, writes ``path`` with suffixes ``_p{k}.dcm`` and returns
             the list of paths.
+        explicit: Dataset transfer syntax — explicit VR LE (default) or
+            implicit VR LE (file meta stays explicit VR per standard).
     """
     import struct
 
@@ -190,9 +203,10 @@ def make_synthetic_dicom(
             frames.append(tile.tobytes())
             positions.append((fy * frame_size + 1, fx * frame_size + 1))
 
-    element = _dicom_element
-    ts = b"1.2.840.10008.1.2.1"  # explicit VR LE
-    meta = element(0x0002, 0x0010, b"UI", ts)
+    element = _dicom_element if explicit else _dicom_element_implicit
+    ts = b"1.2.840.10008.1.2.1" if explicit else b"1.2.840.10008.1.2"
+    # file meta (group 0002) is always explicit VR LE
+    meta = _dicom_element(0x0002, 0x0010, b"UI", ts)
     mm = mpp / 1000.0
     spacing = f"{mm:.6f}\\{mm:.6f}".encode()
     concat_uid = b"1.2.826.0.1.3680043.99.1.42" if n_concat > 1 else None

@@ -48,6 +48,8 @@ TAG_IMAGE_TYPE = (0x0008, 0x0008)
 TAG_PHOTOMETRIC = (0x0028, 0x0004)
 TAG_DIM_ORG_TYPE = (0x0020, 0x9311)
 TAG_PER_FRAME_SEQ = (0x5200, 0x9230)
+TAG_SHARED_FUNC_SEQ = (0x5200, 0x9229)
+TAG_PLANE_POS_SEQ = (0x0048, 0x021A)  # PlanePositionSlideSequence
 TAG_COL_POS = (0x0048, 0x021E)  # ColumnPositionInTotalImagePixelMatrix
 TAG_ROW_POS = (0x0048, 0x021F)  # RowPositionInTotalImagePixelMatrix
 TAG_CONCAT_UID = (0x0020, 0x9161)
@@ -62,6 +64,11 @@ _SHORT_VRS = {
     b"US",
 }
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN", b"UC", b"UR", b"OD", b"OL"}
+
+# Implicit VR carries no VR bytes, so defined-length sequences are
+# indistinguishable from binary values without a data dictionary; these
+# are the sequence tags this parser must recurse into regardless.
+_KNOWN_SQ_TAGS = {TAG_PER_FRAME_SEQ, TAG_SHARED_FUNC_SEQ, TAG_PLANE_POS_SEQ}
 
 
 @dataclass
@@ -82,11 +89,18 @@ class DicomDataset:
         value = self.elements.get(tag)
         if value is None:
             return default
+        raw = value
         if isinstance(value, bytes):
             value = value.decode("latin-1").strip("\x00 ").strip()
         try:
             return int(float(value))
         except (TypeError, ValueError):
+            # implicit VR stores US/UL/SL values as raw little-endian
+            # bytes (no VR to decode them at parse time)
+            if isinstance(raw, bytes) and len(raw) == 4:
+                return struct.unpack("<i", raw)[0]
+            if isinstance(raw, bytes) and len(raw) == 2:
+                return struct.unpack("<H", raw)[0]
             return default
 
     def get_str(self, tag, default="") -> str:
@@ -150,7 +164,9 @@ def _parse_elements(  # noqa: C901, PLR0912
                 offset += length
             continue
 
-        if length == 0xFFFFFFFF or vr == b"SQ":
+        if length == 0xFFFFFFFF or vr == b"SQ" or (
+            vr == b"UN" and tag in _KNOWN_SQ_TAGS
+        ):
             seq_end = offset + length if length != 0xFFFFFFFF else end
             if tag == TAG_PER_FRAME_SEQ:
                 offset = _parse_per_frame_sequence(
@@ -403,16 +419,18 @@ class _DicomLevel:
         rows, cols = self.frame_shape
         self._cells: dict[tuple[int, int], tuple[DicomFile, int]] = {}
         sparse = any(p.is_sparse for p in parts)
-        if sparse:
-            for part in parts:
+        frames_across = -(-self.total_shape[1] // cols)
+        for part in parts:
+            if sparse and part.ds.frame_positions:
                 for local_idx, (row_px, col_px) in enumerate(
                     part.ds.frame_positions
                 ):
                     cell = ((row_px - 1) // rows, (col_px - 1) // cols)
                     self._cells[cell] = (part, local_idx)
-        else:
-            frames_across = -(-self.total_shape[1] // cols)
-            for part in parts:
+            else:
+                # row-major rule; also the fallback for a part without
+                # per-frame positions inside a sparse group (its frames
+                # would otherwise silently vanish into background fill)
                 offset = part.concatenation_offset
                 for local_idx in range(part.n_frames):
                     global_idx = offset + local_idx
