@@ -93,13 +93,23 @@ def bench_patch_predictor() -> dict:
     from tiatoolbox_tpu.models.engine.io_config import IOPatchPredictorConfig
     from tiatoolbox_tpu.models.engine.patch_predictor import PatchPredictor
 
+    phases: dict = {}
+    t_phase = time.time()
+
+    def mark(name: str) -> None:
+        nonlocal t_phase
+        phases[name] = round(time.time() - t_phase, 1)
+        t_phase = time.time()
+
     slide_path = f"/tmp/bench_slide_{os.getpid()}.tiff"
     make_synthetic_slide(slide_path, size=(8192, 6144), mpp=0.5, objective_power=20)
+    mark("synth_slide")
 
     batch_size = 128
     model = CNNModel("resnet18", num_classes=9, compute_dtype=jnp.bfloat16)
     model.init(input_shape=(1, 224, 224, 3))
     model.optimize_for_inference()
+    mark("model_init")
     ioconfig = IOPatchPredictorConfig(
         input_resolutions=[{"units": "mpp", "resolution": 0.5}],
         patch_input_shape=(224, 224),
@@ -111,6 +121,7 @@ def bench_patch_predictor() -> dict:
     warm = np.zeros((batch_size, 224, 224, 3), np.uint8)
     jax.block_until_ready(model.apply_u8(warm))
     jax.block_until_ready(model.apply_u8(np.zeros((batch_size, 336, 224), np.uint8)))
+    mark("wire_program_compiles")
 
     def run_once(wire: str) -> tuple[float, int, dict]:
         model.wire_format = wire
@@ -140,6 +151,7 @@ def bench_patch_predictor() -> dict:
             output_type="dict", auto_get_mask=False, verbose=False,
             transfer_threads=4, max_inflight_batches=12,
         )
+    mark("warm_runs")
 
     # Two timed runs per wire format; the tunnel's drain rate wanders,
     # so keep the best (peak capability) and report the link alongside.
@@ -152,6 +164,7 @@ def bench_patch_predictor() -> dict:
             elapsed, n_patches, result = run_once(wire)
             runs[wire].append(n_patches / elapsed)
             results[wire] = result
+    mark("timed_runs")
 
     delta = float(
         np.abs(
@@ -204,6 +217,7 @@ def bench_patch_predictor() -> dict:
     per_iter = (t_long - t_short) / (n_long - n_short)
     device_pps = batch_size / per_iter
     call_overhead_ms = (t_short - n_short * per_iter) * 1e3
+    mark("chain_slope")
 
     # NOTE: the link probe is NOT run here — it fills the relay's burst
     # buffer and throttles every config that follows. main() probes the
@@ -218,6 +232,7 @@ def bench_patch_predictor() -> dict:
         "device_call_overhead_ms": call_overhead_ms,
         "wire_prob_delta_max": delta,
         "slide_path": slide_path,
+        "phase_seconds": phases,
     }
 
 
@@ -544,31 +559,52 @@ def main() -> None:
     # compile times over a remote-attached chip dominate them.
     budget_s = float(os.environ.get("BENCH_BUDGET_SECONDS", "1500"))
     t_start = time.time()
+    section_seconds: dict = {}
 
     def remaining() -> float:
         return budget_s - (time.time() - t_start)
 
+    def section(name: str, fn, fallback: dict, min_remaining: float) -> dict:
+        """Run one bench section with wall attribution and crash/budget
+        isolation — a slow tunnel or a section error must never erase
+        the other configs' numbers from the driver artifact."""
+        if remaining() < min_remaining:
+            section_seconds[name] = "skipped(budget)"
+            return fallback
+        t0 = time.time()
+        try:
+            return fn()
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            return fallback
+        finally:
+            if name not in section_seconds:
+                section_seconds[name] = round(time.time() - t0, 1)
+
+    # Order: headline first (clean link), then the VERDICT-tracked
+    # segmentor configs, then stain norm; the torch-CPU reference is
+    # informational and runs with whatever budget is left.
     pp = bench_patch_predictor()
-    try:
-        ref = bench_torch_reference(pp["slide_path"])
-    except Exception:  # keep the headline robust
-        ref = {"torch_cpu_forward_pps": None, "torch_cpu_e2e_pps": None}
-    try:
-        sn = bench_stainnorm() if remaining() > 120 else {"mpix_per_sec": None, "kernel_mpix_per_sec": None}
-    except Exception:
-        sn = {"mpix_per_sec": None, "kernel_mpix_per_sec": None}
-    try:
-        seg = bench_semantic_segmentor() if remaining() > 300 else {"mpix_per_sec": None}
-    except Exception:
-        seg = {"mpix_per_sec": None}
-    try:
-        mts = (
-            bench_multitask_segmentor()
-            if remaining() > 450
-            else {"mpix_per_sec": None, "instances_per_sec": None}
-        )
-    except Exception:
-        mts = {"mpix_per_sec": None, "instances_per_sec": None}
+    section_seconds["patch_predictor"] = round(time.time() - t_start, 1)
+    section_seconds["patch_predictor_phases"] = pp.get("phase_seconds")
+    seg = section(
+        "semantic_segmentor", bench_semantic_segmentor,
+        {"mpix_per_sec": None}, 240,
+    )
+    mts = section(
+        "multitask_segmentor", bench_multitask_segmentor,
+        {"mpix_per_sec": None, "instances_per_sec": None}, 240,
+    )
+    sn = section(
+        "stainnorm", bench_stainnorm,
+        {"mpix_per_sec": None, "kernel_mpix_per_sec": None}, 90,
+    )
+    ref = section(
+        "torch_reference", lambda: bench_torch_reference(pp["slide_path"]),
+        {"torch_cpu_forward_pps": None, "torch_cpu_e2e_pps": None}, 45,
+    )
 
     # Link probe LAST: it deliberately saturates the relay's burst
     # buffer, which throttles any transfer-bound run after it.
@@ -620,6 +656,7 @@ def main() -> None:
         "hovernet_device_mfu": _r(mts.get("device_mfu")),
         "hovernet_stages": mts.get("stages"),
         "n_patches": pp["n_patches"],
+        "bench_section_seconds": section_seconds,
     }
     print(json.dumps(result))
 
