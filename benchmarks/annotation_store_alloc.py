@@ -83,6 +83,43 @@ def cell_polygon(
     return Polygon([tuple(p) for p in coords])
 
 
+class _PeakRssSampler:
+    """Background thread tracking the true RSS high-water mark.
+
+    The reference column is a PEAK (memray / psutil polling); an
+    end-minus-start delta under-reports stores whose transients are
+    freed before commit returns, so this samples RSS at ~1 kHz for the
+    duration of the run.
+    """
+
+    def __init__(self, proc, interval: float = 0.001) -> None:
+        import threading
+
+        self._proc = proc
+        self._interval = interval
+        self.peak = proc.memory_info().rss
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            rss = self._proc.memory_info().rss
+            if rss > self.peak:
+                self.peak = rss
+            self._stop.wait(self._interval)
+
+    def __enter__(self) -> "_PeakRssSampler":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join()
+        rss = self._proc.memory_info().rss
+        if rss > self.peak:
+            self.peak = rss
+
+
 def run_benchmark(size: tuple[int, int], store: str, *, in_memory: bool) -> dict:
     """Append a size[0] x size[1] grid of cells; report peak RSS + file size."""
     import psutil
@@ -101,21 +138,21 @@ def run_benchmark(size: tuple[int, int], store: str, *, in_memory: bool) -> dict
         target = ":memory:" if in_memory else str(path)
 
         rss_before = proc.memory_info().rss
-        st = cls(target)
-        w, h = size
-        for i in range(w):
-            for j in range(h):
-                poly = cell_polygon((100 * i, 100 * j), seed=i * h + j)
-                st.append(Annotation(poly, {"class": (i * h + j) % 4}))
-        st.commit()
-        rss_after = proc.memory_info().rss
+        with _PeakRssSampler(proc) as sampler:
+            st = cls(target)
+            w, h = size
+            for i in range(w):
+                for j in range(h):
+                    poly = cell_polygon((100 * i, 100 * j), seed=i * h + j)
+                    st.append(Annotation(poly, {"class": (i * h + j) % 4}))
+            st.commit()
 
         if in_memory and store == "dict":
             # reference writes the in-memory dict store out to measure
             # serialized size; on-disk runs measure the live file
             st.dump(str(path))
         file_mib = path.stat().st_size / 2**20 if path.exists() else None
-        peak_mib = (rss_after - rss_before) / 2**20
+        peak_mib = (sampler.peak - rss_before) / 2**20
     return {
         "store": store,
         "in_memory": in_memory,

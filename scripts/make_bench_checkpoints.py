@@ -156,6 +156,16 @@ def ensure_hovernet_bench_checkpoint(
         np.asarray(np_p)[0], np.asarray(hv)[0]
     )
     n_instances = int(inst.max())
+    # a degenerate checkpoint (e.g. a renamed param key zeroing a head)
+    # must fail loudly here, not get cached and silently re-create the
+    # random-init instances/sec ≈ 0 bench this checkpoint exists to fix
+    if n_instances < 3:
+        msg = (
+            f"functional HoVerNet checkpoint failed its smoke check: "
+            f"{n_instances} instances segmented on the synthetic patch "
+            "(expected >= 3); refusing to cache a degenerate checkpoint"
+        )
+        raise RuntimeError(msg)
     models_dir.mkdir(parents=True, exist_ok=True)
     save_flax_npz(variables, target)
     print(

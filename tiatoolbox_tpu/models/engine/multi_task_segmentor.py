@@ -258,54 +258,10 @@ class MultiTaskSegmentor(SemanticSegmentor):
         plan = self._region_feed_plan(dataset)
         t_loop = _time.perf_counter()
         if plan is not None:
-            from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
-
-            import jax
-
-            from tiatoolbox_tpu.ops.region import extract_patches
-
-            def read_and_stage(band):
-                with timer.stage("decode", items=band.band_w * band.band_h):
-                    img = dataset.reader.read_rect(
-                        location=(band.read_x, band.read_y),
-                        size=(band.band_w, band.band_h),
-                        resolution=dataset.resolution,
-                        units=dataset.units,
-                        coord_space="resolution",
-                    )
-                with timer.stage("wire", items=img.nbytes):
-                    dev = jax.device_put(np.ascontiguousarray(img))
-                    dev.block_until_ready()
-                return dev
-
-            bands = plan.bands
-            patch_hw = (plan.patch_h, plan.patch_w)
-            inflight: deque = deque()
-            bi = 0
-            progress_iter = iter(_progress(
-                range(len(bands)), verbose=self.verbose,
-                desc="infer-wsi(bands)", total=len(bands),
-            ))
-            with ThreadPoolExecutor(2) as pool:
-                while bi < len(bands) or inflight:
-                    while bi < len(bands) and len(inflight) < 3:
-                        inflight.append(
-                            (bands[bi], pool.submit(read_and_stage, bands[bi]))
-                        )
-                        bi += 1
-                    band, fut = inflight.popleft()
-                    dev = fut.result()
-                    n = len(band.ds_indices)
-                    for c0 in range(0, n, self.batch_size):
-                        idx = band.ds_indices[c0 : c0 + self.batch_size]
-                        n_valid = len(idx)
-                        starts = np.zeros((self.batch_size, 2), np.int32)
-                        starts[:n_valid] = band.starts_local[c0 : c0 + self.batch_size]
-                        patches = extract_patches(dev, starts, patch_hw)
-                        run_batch(patches, idx, n_valid, self.batch_size)
-                    del dev
-                    next(progress_iter, None)
+            for idx, patches, n_valid in self._iter_band_batches(
+                dataset, plan, timer, self.batch_size
+            ):
+                run_batch(patches, idx, n_valid, self.batch_size)
             path_name = "multitask-device-canvas+region-feed"
             wire_pixels = plan.wire_pixels
         else:

@@ -323,37 +323,22 @@ class SemanticSegmentor(EngineABC):
             stride_wh=dataset.stride_shape,
         )
 
-    def _infer_wsi_device_canvas_region(
-        self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale,
-        probe, plan,
-    ) -> dict:
-        """Device-canvas stitch fed by once-shipped slide bands.
+    def _iter_band_batches(self, dataset, plan, timer, batch_size: int):
+        """Yield ``(ds_indices, device_patches, n_valid)`` per batch
+        from a once-shipped band feed.
 
-        Host threads decode+stage band i+1/i+2 while the device runs
-        extract→forward→scatter on band i; each unique slide row crosses
+        Host threads decode+stage band i+1/i+2 while the device works
+        on band i (deque window of 3); each unique slide row crosses
         the link once (plus a (patch-stride)-row halo per band seam).
+        Shared by the semantic and multitask device-canvas paths so
+        prefetch depth / timer attribution changes stay in one place.
         """
-        import time as _time
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         import jax
 
-        from tiatoolbox_tpu.ops.canvas import DeviceCanvas
         from tiatoolbox_tpu.ops.region import extract_patches
-        from tiatoolbox_tpu.utils.profiling import StageTimer
-
-        dataset = dataloader.dataset
-        outputs_arr = dataset.outputs
-        probe = np.asarray(probe)
-        ph_out, pw_out = probe.shape[1:3]
-        starts_canvas = np.round(
-            outputs_arr[:, :2].astype(float) * coord_scale
-        ).astype(np.int32)
-        pad_h = max(int(canvas_wh[1]), int(starts_canvas[:, 1].max()) + ph_out)
-        pad_w = max(int(canvas_wh[0]), int(starts_canvas[:, 0].max()) + pw_out)
-        canvas = DeviceCanvas((pad_h, pad_w), n_channels)
-        timer = StageTimer()
 
         def read_and_stage(band):
             with timer.stage("decode", items=band.band_w * band.band_h):
@@ -369,17 +354,14 @@ class SemanticSegmentor(EngineABC):
                 dev.block_until_ready()
             return dev
 
-        batch_size = self.batch_size
-        patch_hw = (plan.patch_h, plan.patch_w)
-        t_loop = _time.perf_counter()
         bands = plan.bands
+        patch_hw = (plan.patch_h, plan.patch_w)
         inflight: deque = deque()
         bi = 0
-        progress = _progress(
+        progress_iter = iter(_progress(
             range(len(bands)), verbose=self.verbose, desc="infer-wsi(bands)",
             total=len(bands),
-        )
-        progress_iter = iter(progress)
+        ))
         with ThreadPoolExecutor(2) as pool:
             while bi < len(bands) or inflight:
                 while bi < len(bands) and len(inflight) < 3:
@@ -396,15 +378,45 @@ class SemanticSegmentor(EngineABC):
                     starts = np.zeros((batch_size, 2), np.int32)
                     starts[:n_valid] = band.starts_local[c0 : c0 + batch_size]
                     patches = extract_patches(dev, starts, patch_hw)
-                    probs = self.model.infer_batch_device(
-                        self.model, patches, self.device
-                    )
-                    positions = np.zeros((batch_size, 2), np.int32)
-                    positions[:n_valid] = starts_canvas[idx][:, [1, 0]]
-                    valid = np.arange(batch_size) < n_valid
-                    canvas.add(probs, positions, valid)
+                    yield idx, patches, n_valid
                 del dev
                 next(progress_iter, None)
+
+    def _infer_wsi_device_canvas_region(
+        self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale,
+        probe, plan,
+    ) -> dict:
+        """Device-canvas stitch fed by once-shipped slide bands."""
+        import time as _time
+
+        from tiatoolbox_tpu.ops.canvas import DeviceCanvas
+        from tiatoolbox_tpu.utils.profiling import StageTimer
+
+        dataset = dataloader.dataset
+        outputs_arr = dataset.outputs
+        probe = np.asarray(probe)
+        ph_out, pw_out = probe.shape[1:3]
+        starts_canvas = np.round(
+            outputs_arr[:, :2].astype(float) * coord_scale
+        ).astype(np.int32)
+        pad_h = max(int(canvas_wh[1]), int(starts_canvas[:, 1].max()) + ph_out)
+        pad_w = max(int(canvas_wh[0]), int(starts_canvas[:, 0].max()) + pw_out)
+        canvas = DeviceCanvas((pad_h, pad_w), n_channels)
+        timer = StageTimer()
+
+        batch_size = self.batch_size
+        t_loop = _time.perf_counter()
+        bands = plan.bands
+        for idx, patches, n_valid in self._iter_band_batches(
+            dataset, plan, timer, batch_size
+        ):
+            probs = self.model.infer_batch_device(
+                self.model, patches, self.device
+            )
+            positions = np.zeros((batch_size, 2), np.int32)
+            positions[:n_valid] = starts_canvas[idx][:, [1, 0]]
+            valid = np.arange(batch_size) < n_valid
+            canvas.add(probs, positions, valid)
         timer.add("dispatch-wall", _time.perf_counter() - t_loop)
 
         h, w = int(canvas_wh[1]), int(canvas_wh[0])

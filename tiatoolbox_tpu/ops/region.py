@@ -157,4 +157,9 @@ class BandPlan:
                     starts_local=np.asarray(starts, np.int32),
                 )
             )
+        # enforce the documented guarantee: never ship MORE pixels than
+        # the per-patch feed (possible with one-axis overlap + gaps on
+        # the other axis, where bands include the inter-column gaps)
+        if plan.wire_pixels >= len(inputs) * pw * ph:
+            return None
         return plan

@@ -13,6 +13,7 @@ build adds:
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
@@ -21,6 +22,10 @@ from tiatoolbox_tpu import logger
 
 class StageTimer:
     """Accumulate wall time and item counts per pipeline stage.
+
+    Thread-safe: the band-feed paths accumulate the same stage from
+    concurrent reader threads, so the read-modify-write on the
+    accumulators is lock-guarded.
 
     Example:
         >>> timer = StageTimer()
@@ -32,6 +37,7 @@ class StageTimer:
     def __init__(self) -> None:
         self.times: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str, items: int = 0):
@@ -39,12 +45,12 @@ class StageTimer:
         try:
             yield
         finally:
-            self.times[name] += time.perf_counter() - start
-            self.counts[name] += items
+            self.add(name, time.perf_counter() - start, items)
 
     def add(self, name: str, seconds: float, items: int = 0) -> None:
-        self.times[name] += seconds
-        self.counts[name] += items
+        with self._lock:
+            self.times[name] += seconds
+            self.counts[name] += items
 
     def summary(self) -> dict[str, dict]:
         out = {}

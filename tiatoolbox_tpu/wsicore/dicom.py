@@ -70,6 +70,22 @@ _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN", b"UC", b"UR", b"OD", b"OL
 # are the sequence tags this parser must recurse into regardless.
 _KNOWN_SQ_TAGS = {TAG_PER_FRAME_SEQ, TAG_SHARED_FUNC_SEQ, TAG_PLANE_POS_SEQ}
 
+# Implicit VR also carries no type for binary integers. Every integer
+# tag this parser consumes (except NumberOfFrames, which is IS = text)
+# has a binary US/UL/SL VR in the standard — decode those at parse time
+# so text-looking raw bytes (e.g. UL 48 = b"0\x00\x00\x00") can't be
+# mistaken for ASCII digits later.
+_KNOWN_INT_VRS = {
+    TAG_ROWS: b"US",
+    TAG_COLUMNS: b"US",
+    TAG_SAMPLES_PER_PIXEL: b"US",
+    TAG_TOTAL_MATRIX_COLS: b"UL",
+    TAG_TOTAL_MATRIX_ROWS: b"UL",
+    TAG_COL_POS: b"SL",
+    TAG_ROW_POS: b"SL",
+    TAG_CONCAT_OFFSET: b"UL",
+}
+
 
 @dataclass
 class DicomDataset:
@@ -184,6 +200,8 @@ def _parse_elements(  # noqa: C901, PLR0912
 
         value = data[offset : offset + length]
         offset += length
+        if vr == b"UN":
+            vr = _KNOWN_INT_VRS.get(tag, vr)
         if vr == b"US" and length == 2:
             ds.elements[tag] = struct.unpack("<H", value)[0]
         elif vr == b"UL" and length == 4:
