@@ -395,6 +395,66 @@ class TestQueryMatrix:
         out = store.nquery(where='props["role"] == "hub"', distance=5)
         assert out == {}
 
+    def test_nquery_box_box_mode(self, cls) -> None:
+        """box-box: neighbour bbox intersects center bbox + distance."""
+        store = cls()
+        store["a"] = Annotation(Polygon.from_bounds(0, 0, 10, 10), {"q": 1})
+        store["near"] = Annotation(Polygon.from_bounds(13, 0, 20, 10), {})
+        store["far"] = Annotation(Polygon.from_bounds(30, 0, 40, 10), {})
+        out = store.nquery(where='props["q"] == 1', distance=5, mode="box-box")
+        assert set(out["a"]) == {"near"}
+
+    def test_nquery_boxpoint_mode_uses_bbox_centers(self, cls) -> None:
+        """boxpoint-boxpoint: bbox-center distance (reference
+        ``storage.py:961-981`` defines centers on bounds centroids)."""
+        store = cls()
+        store["a"] = Annotation(Polygon.from_bounds(0, 0, 10, 10), {"q": 1})
+        # bbox center (20, 5): 15 from a's center (5, 5)
+        store["b"] = Annotation(Polygon.from_bounds(15, 0, 25, 10), {})
+        hit = store.nquery(
+            where='props["q"] == 1', distance=16, mode="boxpoint-boxpoint"
+        )
+        miss = store.nquery(
+            where='props["q"] == 1', distance=14, mode="boxpoint-boxpoint"
+        )
+        assert set(hit["a"]) == {"b"}
+        assert miss == {}
+
+    def test_nquery_invalid_mode_raises(self, cls) -> None:
+        store = cls()
+        store["a"] = cell(0, 0, role="hub")
+        with pytest.raises(ValueError, match="mode must be one of"):
+            store.nquery(where='props["role"] == "hub"', mode="point-point")
+
+    def test_nquery_modes_consistent_on_grid(self, cls) -> None:
+        """Mode relationships on a regular grid of identical cells:
+        exact poly distance and boxpoint agree on 4-neighbourhoods;
+        box-box is a superset (it also admits diagonals, whose
+        per-axis bbox gap equals the orthogonal gap)."""
+        store = cls()
+        for i in range(4):
+            for j in range(4):
+                store[f"{i}-{j}"] = cell(100 * i, 100 * j, n=i * 4 + j)
+        poly = store.nquery(
+            where='props["n"] >= 0', distance=120, mode="poly-poly",
+            geometry_predicate="intersects",  # exact-distance path
+        )
+        boxpoint = store.nquery(
+            where='props["n"] >= 0', distance=120, mode="boxpoint-boxpoint"
+        )
+        boxbox = store.nquery(
+            where='props["n"] >= 0', distance=120, mode="box-box"
+        )
+        poly_sets = {k: set(v) for k, v in poly.items()}
+        bp_sets = {k: set(v) for k, v in boxpoint.items()}
+        bb_sets = {k: set(v) for k, v in boxbox.items()}
+        assert poly_sets == bp_sets
+        # interior cell (1,1) has exactly its 4 orthogonal neighbours
+        assert poly_sets["1-1"] == {"0-1", "2-1", "1-0", "1-2"}
+        for key, members in bp_sets.items():
+            assert members <= bb_sets[key]
+        assert bb_sets["1-1"] >= {"0-0", "2-2"}  # diagonals admitted
+
 
 @pytest.mark.parametrize("cls", STORE_CLASSES)
 class TestSerialization:

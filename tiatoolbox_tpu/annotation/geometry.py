@@ -527,28 +527,41 @@ def geometry_distance(a: Geometry, b: Geometry) -> float:
         )
 
     pa, pb = pts_of(a), pts_of(b)
-    best = np.inf
-    for x, y in pa:
-        best = min(best, _min_dist_to_polyline(pb, x, y))
-    for x, y in pb:
-        best = min(best, _min_dist_to_polyline(pa, x, y))
-    return float(best)
+    return float(
+        np.sqrt(
+            min(_min_dist2_pts_to_polyline(pa, pb),
+                _min_dist2_pts_to_polyline(pb, pa))
+        )
+    )
 
 
-def _min_dist_to_polyline(line: np.ndarray, x: float, y: float) -> float:
+def _min_dist2_pts_to_polyline(pts: np.ndarray, line: np.ndarray) -> float:
+    """Min squared distance from any of ``pts`` [P,2] to polyline [S+1,2].
+
+    One vectorized [P,S] evaluation (point-to-segment projection),
+    replacing the per-point loop — nquery's exact phase calls this for
+    every surviving candidate pair.
+    """
     if len(line) == 1:
-        return float(np.hypot(line[0, 0] - x, line[0, 1] - y))
-    p0, p1 = line[:-1], line[1:]
+        return float(((pts - line[0]) ** 2).sum(axis=1).min())
+    p0, p1 = line[:-1], line[1:]  # [S,2]
     d = p1 - p0
-    seg_len2 = (d**2).sum(axis=1)
+    seg_len2 = (d**2).sum(axis=1)  # [S]
+    # t[p,s] = clamped projection parameter of point p onto segment s
+    rel = pts[:, None, :] - p0[None, :, :]  # [P,S,2]
     t = np.clip(
-        ((np.array([x, y]) - p0) * d).sum(axis=1) / np.where(seg_len2 > 0, seg_len2, 1),
+        (rel * d[None, :, :]).sum(axis=2) / np.where(seg_len2 > 0, seg_len2, 1),
         0,
         1,
     )
-    proj = p0 + t[:, None] * d
-    dist2 = ((proj - np.array([x, y])) ** 2).sum(axis=1)
-    return float(np.sqrt(dist2.min()))
+    proj = p0[None, :, :] + t[:, :, None] * d[None, :, :]
+    return float(((pts[:, None, :] - proj) ** 2).sum(axis=2).min())
+
+
+def _min_dist_to_polyline(line: np.ndarray, x: float, y: float) -> float:
+    return float(
+        np.sqrt(_min_dist2_pts_to_polyline(np.array([[x, y]], float), line))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,14 @@ class Annotation:
     def coords(self) -> np.ndarray:
         return self.geometry.coords
 
+    @property
+    def geometry_type(self):
+        """The :class:`~tiatoolbox_tpu.enums.GeometryType` of the
+        geometry (reference ``annotation/storage.py:148``)."""
+        from tiatoolbox_tpu.enums import GeometryType
+
+        return GeometryType(self.geometry.geom_type)
+
     def to_feature(self) -> dict:
         """GeoJSON feature dict."""
         return {
@@ -320,7 +328,42 @@ class AnnotationStore(MutableMapping):
         geometry_predicate: str = "centers_within_k",
         mode: str = "poly-poly",  # noqa: ARG002 - API parity
     ) -> dict[str, dict[str, Annotation]]:
-        """Proximity query: neighbours within ``distance`` of matches."""
+        """Proximity query: neighbours within ``distance`` of matches.
+
+        Mode semantics follow the reference (``storage.py:1543-1740``):
+
+        - ``"box-box"``: neighbour bbox intersects the center's bbox
+          expanded by ``distance`` (pure bbox arithmetic, no geometry
+          decode).
+        - ``"boxpoint-boxpoint"``: bbox-center to bbox-center distance
+          (the reference's ``centers_within_k`` is defined on bounds
+          centroids, ``storage.py:961-981``).
+        - ``"poly-poly"`` (default): with the default
+          ``geometry_predicate="centers_within_k"`` this is the
+          boxpoint path; any other predicate uses true
+          geometry-to-geometry distance (equivalent to the reference's
+          buffer-then-intersect formulation).
+
+        Unlike the reference's naive loop the center annotation itself
+        is never returned as its own neighbour.
+
+        Two-phase evaluation: one ``bquery`` pass gathers every
+        ``n_where`` candidate's bounding box (R*Tree + SQL pushdown on
+        the SQLite backend), the per-center tests run vectorized over
+        that array, and only ``poly-poly`` survivors pay an exact
+        geometry check — O(N + hits) instead of the all-pairs scan.
+        """
+        mode_tuple = tuple(mode.split("-")) if isinstance(mode, str) else tuple(mode)
+        if mode_tuple not in (
+            ("box", "box"), ("boxpoint", "boxpoint"), ("poly", "poly")
+        ):
+            msg = (
+                "mode must be one of 'box-box', 'boxpoint-boxpoint', "
+                "or 'poly-poly'"
+            )
+            raise ValueError(msg)
+        from_mode = mode_tuple[0]
+
         centers = {
             key: ann
             for key, ann in self.query(
@@ -328,21 +371,50 @@ class AnnotationStore(MutableMapping):
             ).items()
         }
         result: dict[str, dict[str, Annotation]] = {}
-        all_items = list(self.items())
+        if not centers:
+            return result
+        cand_boxes = self.bquery(None, n_where)
+        cand_keys = list(cand_boxes)
+        boxes = np.asarray(
+            [cand_boxes[k] for k in cand_keys], dtype=np.float64
+        ).reshape(-1, 4)
+        cand_cx = (boxes[:, 0] + boxes[:, 2]) / 2
+        cand_cy = (boxes[:, 1] + boxes[:, 3]) / 2
+        ann_cache: dict[str, Annotation] = {}
+
+        def _ann(nkey: str) -> Annotation:
+            ann = ann_cache.get(nkey)
+            if ann is None:
+                ann = ann_cache[nkey] = self[nkey]
+            return ann
+
+        use_boxpoint = from_mode == "boxpoint" or (
+            from_mode == "poly" and geometry_predicate == "centers_within_k"
+        )
         for key, ann in centers.items():
-            c = ann.geometry.centroid
+            qx0, qy0, qx1, qy1 = ann.geometry.bounds
+            if use_boxpoint:
+                qcx, qcy = (qx0 + qx1) / 2, (qy0 + qy1) / 2
+                hit = (cand_cx - qcx) ** 2 + (cand_cy - qcy) ** 2 <= distance**2
+                exact = False
+            else:
+                hit = (
+                    (boxes[:, 0] <= qx1 + distance)
+                    & (boxes[:, 2] >= qx0 - distance)
+                    & (boxes[:, 1] <= qy1 + distance)
+                    & (boxes[:, 3] >= qy0 - distance)
+                )
+                exact = from_mode == "poly"
             neighbours = {}
-            for nkey, nann in all_items:
+            for idx in np.nonzero(hit)[0]:
+                nkey = cand_keys[idx]
                 if nkey == key:
                     continue
-                if not self._eval_where(n_where, nann.properties):
+                if exact and not (
+                    ann.geometry.distance(_ann(nkey).geometry) <= distance
+                ):
                     continue
-                if geometry_predicate == "centers_within_k":
-                    nc = nann.geometry.centroid
-                    if np.hypot(nc.x - c.x, nc.y - c.y) <= distance:
-                        neighbours[nkey] = nann
-                elif ann.geometry.distance(nann.geometry) <= distance:
-                    neighbours[nkey] = nann
+                neighbours[nkey] = _ann(nkey)
             if neighbours:
                 result[key] = neighbours
         return result
