@@ -210,6 +210,91 @@ class TestStores:
         assert "c2" in result["c1"]
 
 
+def _reference_written_db(path, compression: str | None) -> None:
+    """Write a .db exactly as the reference's SQLiteStore does
+    (schema ``/root/reference/tiatoolbox/annotation/storage.py:
+    2404-2423``, JSON metadata ``:2262,2384-2386``, WKB geometry blobs
+    optionally zlib-compressed)."""
+    import json as _json
+    import sqlite3
+    import zlib
+
+    from tiatoolbox_tpu.annotation.geometry import Point
+
+    con = sqlite3.connect(str(path))
+    con.execute(
+        "CREATE VIRTUAL TABLE rtree USING rtree(id, min_x, max_x, min_y, max_y)"
+    )
+    con.execute(
+        "CREATE TABLE annotations(id INTEGER PRIMARY KEY, key TEXT UNIQUE, "
+        "objtype TEXT, cx FLOAT NOT NULL, cy FLOAT NOT NULL, geometry BLOB, "
+        "properties TEXT, area FLOAT NOT NULL)"
+    )
+    con.execute("CREATE TABLE IF NOT EXISTS metadata (key TEXT UNIQUE, value TEXT)")
+    for k, v in (
+        ("version", "1.0.1"),
+        ("compression", compression),
+        ("compression_level", 9),
+    ):
+        con.execute(
+            "REPLACE INTO metadata (key, value) VALUES (?,?)", (k, _json.dumps(v))
+        )
+    for i, key in enumerate(("ref-a", "ref-b")):
+        wkb = Point(10.0 * i, 5.0).buffer(2).to_wkb()
+        blob = zlib.compress(wkb, 9) if compression == "zlib" else wkb
+        cur = con.execute(
+            "INSERT INTO annotations (key, objtype, cx, cy, geometry, "
+            "properties, area) VALUES (?,?,?,?,?,?,?)",
+            (key, "polygon", 10.0 * i, 5.0, blob, _json.dumps({"n": i}), 12.0),
+        )
+        con.execute(
+            "INSERT INTO rtree (id, min_x, max_x, min_y, max_y) VALUES (?,?,?,?,?)",
+            (cur.lastrowid, 10.0 * i - 2, 10.0 * i + 2, 3.0, 7.0),
+        )
+    con.commit()
+    con.close()
+
+
+class TestReferenceDbInterop:
+    """.db files written by the reference open here (both compression
+    settings), and stores written here carry the metadata keys the
+    reference reads on open."""
+
+    @pytest.mark.parametrize("compression", ["zlib", None])
+    def test_reference_db_opens_here(self, tmp_path, compression) -> None:
+        path = tmp_path / f"ref_{compression}.db"
+        _reference_written_db(path, compression)
+        store = SQLiteStore(path)
+        assert store.metadata["compression"] == compression
+        assert set(store) == {"ref-a", "ref-b"}
+        ann = store["ref-b"]
+        assert ann.properties == {"n": 1}
+        assert ann.geometry.bounds == pytest.approx((8, 3, 12, 7))
+        hits = store.query((5, 0, 15, 10))
+        assert "ref-b" in hits
+        # writes through our store stay readable and keep the declared
+        # compression so the reference can still decode them
+        store.append(Annotation(Point(20, 5).buffer(2), {"n": 2}), key="new")
+        assert store["new"].properties == {"n": 2}
+
+    def test_our_db_carries_reference_metadata(self, tmp_path) -> None:
+        path = tmp_path / "ours.db"
+        store = SQLiteStore(path)
+        store.append(Annotation(Point(0, 0).buffer(1), {}), key="k")
+        store.commit()
+        assert store.metadata["compression"] == "zlib"
+        assert isinstance(store.metadata["compression_level"], int)
+        assert "version" in store.metadata
+
+    def test_existing_keys_not_overwritten_on_reopen(self, tmp_path) -> None:
+        path = tmp_path / "keep.db"
+        _reference_written_db(path, None)
+        SQLiteStore(path).close()
+        store = SQLiteStore(path)  # reopen: must still say None
+        assert store.metadata["compression"] is None
+        assert store["ref-a"].properties == {"n": 0}
+
+
 class TestSQLiteSpecific:
     def test_persistence(self, tmp_path) -> None:
         path = tmp_path / "store.db"

@@ -689,6 +689,21 @@ class SQLiteStore(AnnotationStore):
             """
         )
         con.commit()
+        # honor the reference's on-disk metadata contract
+        # (``storage.py:2384-2393``): geometry compression is declared
+        # in the metadata table, so .db files interoperate both ways —
+        # a reference-written store (compression "zlib" or None) opens
+        # here, and stores written here carry the keys the reference
+        # reads on open.
+        compression = self.metadata.get("compression", "__absent__")
+        if compression == "__absent__":
+            self.metadata["version"] = "1.0.1"
+            self.metadata["compression"] = "zlib"
+            self.metadata["compression_level"] = 9
+            compression = "zlib"
+        self._compression = compression
+        level = self.metadata.get("compression_level", 9)
+        self._compression_level = level if isinstance(level, int) else 9
 
     # -- connections ----------------------------------------------------------------
 
@@ -717,8 +732,7 @@ class SQLiteStore(AnnotationStore):
             self._local.con = con
         return con
 
-    @staticmethod
-    def _register_functions(con: sqlite3.Connection) -> None:
+    def _register_functions(self, con: sqlite3.Connection) -> None:
         # returns the matched substring or NULL — same contract as the
         # python-mode regexp helper, so is_none/is_not_none and truthiness
         # agree between backends (reference registers the match this way)
@@ -729,7 +743,7 @@ class SQLiteStore(AnnotationStore):
         con.create_function("LISTSUM", 1, dsl.json_list_sum)
         con.create_function("CONTAINS", 2, dsl.json_contains)
         con.create_function(
-            "GET_AREA", 1, lambda blob: wkb_to_geometry(zlib.decompress(blob)).area
+            "GET_AREA", 1, lambda blob: self._unpack_geometry(blob).area
         )
         # python truthiness in one evaluation (NULL/0/'' are falsy;
         # non-empty strings truthy — strings never equal numbers here)
@@ -739,13 +753,16 @@ class SQLiteStore(AnnotationStore):
 
     # -- serialization -----------------------------------------------------------------
 
-    @staticmethod
-    def _pack_geometry(geometry: Geometry) -> bytes:
-        return zlib.compress(geometry.to_wkb())
+    def _pack_geometry(self, geometry: Geometry) -> bytes:
+        wkb = geometry.to_wkb()
+        if self._compression == "zlib":
+            return zlib.compress(wkb, self._compression_level)
+        return wkb
 
-    @staticmethod
-    def _unpack_geometry(blob: bytes) -> Geometry:
-        return wkb_to_geometry(zlib.decompress(blob))
+    def _unpack_geometry(self, blob: bytes) -> Geometry:
+        if self._compression == "zlib":
+            return wkb_to_geometry(zlib.decompress(blob))
+        return wkb_to_geometry(blob)
 
     # -- mapping interface -----------------------------------------------------------
 
