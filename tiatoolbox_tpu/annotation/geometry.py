@@ -685,7 +685,11 @@ def wkt_to_geometry(wkt: str) -> Geometry:
 
 
 def _depth2_groups(body: str) -> list[str]:
-    """Parenthesized groups at nesting depth 2 of a WKT body."""
+    """Parenthesized groups at nesting depth 2 of a WKT body.
+
+    Raises on unbalanced parentheses — a truncated ``MULTIPOLYGON (((``
+    must fail loudly, not decode as an empty collection.
+    """
     groups = []
     depth = 0
     start = None
@@ -698,6 +702,12 @@ def _depth2_groups(body: str) -> list[str]:
             if depth == 2:
                 groups.append(body[start : i + 1])
             depth -= 1
+            if depth < 0:
+                msg = "Unbalanced parentheses in WKT body"
+                raise ValueError(msg)
+    if depth != 0:
+        msg = "Unbalanced parentheses in WKT body"
+        raise ValueError(msg)
     return groups
 
 
