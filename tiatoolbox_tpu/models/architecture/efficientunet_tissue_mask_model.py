@@ -126,10 +126,9 @@ class EfficientUNetTissueMaskModel(ModelABC):
         if model._jitted_infer is None:
             module = model.module
 
-            @jax.jit
             def _run(variables, x):
                 logits = module.apply(variables, x)
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-            model._jitted_infer = _run
-        return np.asarray(model._jitted_infer(model.variables, batch))
+            model._jitted_infer = model.bind_jit(_run)
+        return np.asarray(model._jitted_infer(batch))

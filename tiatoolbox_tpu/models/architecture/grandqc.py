@@ -157,10 +157,9 @@ class GrandQCModel(ModelABC):
         if model._jitted_infer is None:
             module = model.module
 
-            @jax.jit
             def _run(variables, x):
                 logits = module.apply(variables, x)
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-            model._jitted_infer = _run
-        return np.asarray(model._jitted_infer(model.variables, batch))
+            model._jitted_infer = model.bind_jit(_run)
+        return np.asarray(model._jitted_infer(batch))

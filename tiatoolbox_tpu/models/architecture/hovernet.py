@@ -257,12 +257,11 @@ class HoVerNet(ModelABC):
         if model._jitted_infer is not None:
             return
         module = model.module
-
-        @jax.jit
-        def _run(variables, x):
-            return HoVerNet._head_outputs(module.apply(variables, x))
-
-        model._jitted_infer = _run
+        model._jitted_infer = model.bind_jit(
+            lambda variables, x: HoVerNet._head_outputs(
+                module.apply(variables, x)
+            )
+        )
 
     @staticmethod
     def infer_batch(model: "HoVerNet", batch_data, device: str | None = None):  # noqa: ARG004
@@ -285,7 +284,7 @@ class HoVerNet(ModelABC):
         """
         batch = jnp.asarray(batch_data).astype(model.compute_dtype)
         HoVerNet._ensure_jitted_infer(model)
-        out = model._jitted_infer(model.variables, batch)
+        out = model._jitted_infer(batch)
         if "tp" in out:
             return out["np"], out["hv"], out["tp"]
         return out["np"], out["hv"]

@@ -108,7 +108,6 @@ class HoVerNetPlus(HoVerNet):
             return
         module = model.module
 
-        @jax.jit
         def _run(variables, x):
             pred = module.apply(variables, x)
             out = HoVerNet._head_outputs(pred)  # np/hv/tp (shared)
@@ -116,7 +115,7 @@ class HoVerNetPlus(HoVerNet):
             out["ls"] = jnp.argmax(ls, axis=-1, keepdims=True).astype(jnp.float32)
             return out
 
-        model._jitted_infer = _run
+        model._jitted_infer = model.bind_jit(_run)
 
     @staticmethod
     def infer_batch(model: "HoVerNetPlus", batch_data, device: str | None = None):  # noqa: ARG004
@@ -131,7 +130,7 @@ class HoVerNetPlus(HoVerNet):
         """As :meth:`infer_batch` but returns UNFETCHED device arrays."""
         batch = jnp.asarray(batch_data).astype(model.compute_dtype)
         HoVerNetPlus._ensure_jitted_infer(model)
-        out = model._jitted_infer(model.variables, batch)
+        out = model._jitted_infer(batch)
         return out["np"], out["hv"], out["tp"], out["ls"]
 
     @staticmethod

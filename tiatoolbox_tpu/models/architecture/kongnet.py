@@ -210,14 +210,13 @@ class KongNet(ModelABC):
             module = model.module
             target = tuple(model.target_channels)
 
-            @jax.jit
             def _run(variables, x):
                 logits = module.apply(variables, x)
                 sel = logits[..., jnp.array(target)]
                 return jax.nn.sigmoid(sel.astype(jnp.float32))
 
-            model._jitted_infer = _run
-        return np.asarray(model._jitted_infer(model.variables, batch))
+            model._jitted_infer = model.bind_jit(_run)
+        return np.asarray(model._jitted_infer(batch))
 
     def postproc(
         self,

@@ -101,12 +101,11 @@ class MapDe(MicroNet):
         if model._jitted_infer is None:
             module = model.module
 
-            @jax.jit
             def _run(variables, x):
                 return module.apply(variables, x).astype(jnp.float32)
 
-            model._jitted_infer = _run
-        return np.asarray(model._jitted_infer(model.variables, batch))
+            model._jitted_infer = model.bind_jit(_run)
+        return np.asarray(model._jitted_infer(batch))
 
     def postproc(
         self,

@@ -219,13 +219,12 @@ class MicroNet(ModelABC):
         if model._jitted_infer is None:
             module = model.module
 
-            @jax.jit
             def _run(variables, x):
                 out, _, _, _ = module.apply(variables, x)
                 return out.astype(jnp.float32)
 
-            model._jitted_infer = _run
-        return (np.asarray(model._jitted_infer(model.variables, batch)),)
+            model._jitted_infer = model.bind_jit(_run)
+        return (np.asarray(model._jitted_infer(batch)),)
 
     def postproc(self, raw_maps, offset=(0, 0), *, verbose: bool = True) -> tuple:  # noqa: ARG002
         """Instance labelling: argmax → label → fill holes per instance."""

@@ -107,12 +107,11 @@ class SCCNN(ModelABC):
         if model._jitted_infer is None:
             module = model.module
 
-            @jax.jit
             def _run(variables, x):
                 return module.apply(variables, x).astype(jnp.float32)
 
-            model._jitted_infer = _run
-        return np.asarray(model._jitted_infer(model.variables, batch))
+            model._jitted_infer = model.bind_jit(_run)
+        return np.asarray(model._jitted_infer(batch))
 
     def postproc(
         self,

@@ -242,7 +242,6 @@ class UNetModel(ModelABC):
         if model._jitted_infer is None:
             module = model.module
 
-            @jax.jit
             def _run(variables, x):
                 logits = module.apply(variables, x)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -256,7 +255,7 @@ class UNetModel(ModelABC):
                     (probs.shape[1] - crop[0], probs.shape[2] - crop[1]),
                 )
 
-            model._jitted_infer = _run
-        return model._jitted_infer(model.variables, batch)
+            model._jitted_infer = model.bind_jit(_run)
+        return model._jitted_infer(batch)
 
     _jitted_infer = None

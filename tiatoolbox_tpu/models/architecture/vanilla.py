@@ -121,7 +121,7 @@ class CNNModel(ModelABC):
             self.module = _CNNClassifier(
                 backbone=self.backbone, num_classes=self.num_classes, stem="s2d"
             )
-            self._jitted = self._jitted_u8 = self._jitted_yuv = None
+            self._invalidate_jitted()
         return self
 
     @staticmethod

@@ -55,6 +55,29 @@ class ModelABC:
         # bytes/patch — see ops/colorconv.py) unpacked on device.
         self.wire_format = "rgb"
 
+    def bind_jit(self, fn: Callable) -> Callable:
+        """jit ``fn(variables, batch)`` with the CURRENT weights baked
+        in as closure constants; returns a 1-arg program ``(batch)``.
+
+        Passing the weight pytree as a per-call jit argument costs
+        per-leaf RPC marshalling on remote-attached backends — measured
+        ~390 ms/call for HoVerNet's 667 leaves over the TPU tunnel vs
+        ~0 for closure constants embedded in the executable once
+        (4.5x on every serving batch). All cached programs built this
+        way are dropped by :meth:`_invalidate_jitted` whenever weights
+        change.
+        """
+        variables = self.variables
+        return jax.jit(lambda batch: fn(variables, batch))
+
+    def _invalidate_jitted(self) -> None:
+        """Drop every cached compiled program (weights changed)."""
+        self._jitted = None
+        self._jitted_u8 = None
+        self._jitted_yuv = None
+        if hasattr(self, "_jitted_infer"):
+            self._jitted_infer = None
+
     def enable_data_parallel(self, n_devices: int | None = None) -> "ModelABC":
         """Shard the batch axis over the local device mesh (dp).
 
@@ -70,7 +93,7 @@ class ModelABC:
         self.mesh = get_data_mesh(n_devices)
         if self.variables is not None:
             self.variables = shard_model_variables(self.variables, self.mesh)
-        self._jitted = None
+        self._invalidate_jitted()
         return self
 
     def shard_batch(self, batch):
@@ -118,9 +141,7 @@ class ModelABC:
     def load_weights(self, variables: dict) -> None:
         """Attach a flax variables dict (e.g. from the torch converter)."""
         self.variables = variables
-        self._jitted = None
-        self._jitted_u8 = None
-        self._jitted_yuv = None
+        self._invalidate_jitted()
 
     def optimize_for_inference(self) -> "ModelABC":
         """Cast float32 weights to ``compute_dtype`` for the serving path.
@@ -140,9 +161,7 @@ class ModelABC:
             return x
 
         self.variables = jax.tree_util.tree_map(_cast, self.variables)
-        self._jitted = None
-        self._jitted_u8 = None
-        self._jitted_yuv = None
+        self._invalidate_jitted()
         return self
 
     def load_weights_from_file(self, weights) -> "ModelABC":
@@ -177,13 +196,10 @@ class ModelABC:
             raise RuntimeError(msg)
         if self._jitted is None:
             module = self.module
-
-            @jax.jit
-            def _run(variables, x):
-                return module.apply(variables, x)
-
-            self._jitted = _run
-        return self._jitted(self.variables, batch)
+            self._jitted = self.bind_jit(
+                lambda variables, x: module.apply(variables, x)
+            )
+        return self._jitted(batch)
 
     def apply_u8(self, batch_u8):
         """Fused uint8 path: cast → /255 → forward as ONE device program.
@@ -203,23 +219,21 @@ class ModelABC:
                 module = self.module
                 dtype = self.compute_dtype
 
-                @jax.jit
                 def _run_yuv(variables, x_planes):
                     rgb = yuv420_batch_to_rgb(x_planes, dtype=dtype)
                     return module.apply(variables, rgb / 255.0)
 
-                self._jitted_yuv = _run_yuv
-            return self._jitted_yuv(self.variables, batch_u8)
+                self._jitted_yuv = self.bind_jit(_run_yuv)
+            return self._jitted_yuv(batch_u8)
         if self._jitted_u8 is None:
             module = self.module
             dtype = self.compute_dtype
 
-            @jax.jit
             def _run_u8(variables, x_u8):
                 return module.apply(variables, x_u8.astype(dtype) / 255.0)
 
-            self._jitted_u8 = _run_u8
-        return self._jitted_u8(self.variables, batch_u8)
+            self._jitted_u8 = self.bind_jit(_run_u8)
+        return self._jitted_u8(batch_u8)
 
     def stage_batch(self, batch):
         """Host→device copy of a uint8 batch with the model's sharding.
@@ -317,7 +331,7 @@ class ModelABC:
         if jitted is None:
             return cls.infer_batch(model, batch_data, device)
         batch = jnp.asarray(batch_data).astype(model.compute_dtype)
-        return jitted(model.variables, batch)
+        return jitted(batch)
 
 
 def model_to(model: ModelABC, device: str | None = None) -> ModelABC:  # noqa: ARG001
