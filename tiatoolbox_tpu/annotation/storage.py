@@ -1048,7 +1048,8 @@ class SQLiteStore(AnnotationStore):
 
 
 class _SQLiteMetadata(MutableMapping):
-    """Metadata key/value table on an SQLiteStore."""
+    """Metadata key/value table on an SQLiteStore (public alias:
+    :class:`SQLiteMetadata`, reference ``storage.py:2249``)."""
 
     def __init__(self, store: SQLiteStore) -> None:
         self._store = store
@@ -1082,3 +1083,7 @@ class _SQLiteMetadata(MutableMapping):
 
     def __len__(self) -> int:
         return self._store.con.execute("SELECT COUNT(*) FROM metadata").fetchone()[0]
+
+
+# public alias for API parity with the reference (``storage.py:2249``)
+SQLiteMetadata = _SQLiteMetadata

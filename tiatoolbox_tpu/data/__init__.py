@@ -35,6 +35,20 @@ def sample_slide_path(name: str = "synthetic") -> Path:
     return path
 
 
+def small_svs() -> Path:
+    """Small slide for testing (reference ``data/__init__.py:123``
+    downloads ``svs-1-small``; zero-egress stand-in: a cached small
+    synthetic pyramidal slide)."""
+    from tiatoolbox_tpu.data.synth import make_synthetic_slide
+
+    home = Path(rcParam["TIATOOLBOX_HOME"]) / "samples"
+    home.mkdir(parents=True, exist_ok=True)
+    path = home / "small_svs.tiff"
+    if not path.exists():
+        make_synthetic_slide(path, size=(1024, 768), mpp=0.5)
+    return path
+
+
 def _fetch_remote_sample(key: str, tmp_path: Path | None = None) -> Path:
     """Fetch a registered sample asset (reference ``data/__init__.py:27-93``).
 

@@ -313,7 +313,11 @@ class EfficientNetV2Encoder(nn.Module):
 
 
 class EfficientNetClassifier(nn.Module):
-    """EfficientNet with head conv + GAP + linear classifier."""
+    """EfficientNet with head conv + GAP + linear classifier.
+
+    ``num_classes=0`` returns the pooled head features (timm's
+    feature-extractor convention, used by TimmBackbone/TimmModel).
+    """
 
     variant: str = "efficientnet_b0"
     num_classes: int = 1000
@@ -327,6 +331,8 @@ class EfficientNetClassifier(nn.Module):
         h = _BN(name="head_bn")(h)
         h = nn.silu(h)
         h = jnp.mean(h, axis=(1, 2))
+        if self.num_classes == 0:
+            return h
         return nn.Dense(self.num_classes, name="classifier")(h)
 
 

@@ -159,6 +159,59 @@ VIT_CONFIGS = {
 }
 
 
+class _TimmClassifierModule(nn.Module):
+    """Foundation encoder → linear classifier → softmax."""
+
+    encoder: nn.Module
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        feats = self.encoder(x)
+        logits = nn.Dense(self.num_classes, name="classifier")(feats)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+class TimmModel(ModelABC):
+    """Patch classifier over a timm foundation tile encoder
+    (reference ``vanilla.py:362-489`` ``TimmModel``: frozen-style
+    encoder + linear classifier head).
+
+    Args:
+        backbone: One of the VIT_CONFIGS names (UNI, UNI2,
+            prov-gigapath, Virchow(2), kaiko, H-optimus-0/1, H0-mini)
+            or "efficientnet_b{i}".
+        num_classes: Classifier output width.
+    """
+
+    def __init__(self, backbone: str, num_classes: int = 1, **kwargs) -> None:
+        if backbone in VIT_CONFIGS:
+            encoder = VisionTransformer(**VIT_CONFIGS[backbone])
+        elif backbone.startswith("efficientnet"):
+            from tiatoolbox_tpu.models.architecture.efficientnet import (
+                EfficientNetClassifier,
+            )
+
+            encoder = EfficientNetClassifier(variant=backbone, num_classes=0)
+        else:
+            msg = f"Backbone {backbone!r} not supported."
+            raise ValueError(msg)
+        module = _TimmClassifierModule(encoder=encoder, num_classes=num_classes)
+        super().__init__(module, **kwargs)
+        self.backbone = backbone
+        self.num_classes = num_classes
+
+    def init(self, rng_key=None, input_shape=(1, 224, 224, 3)) -> None:
+        super().init(rng_key, input_shape)
+
+    @staticmethod
+    def infer_batch(model: "TimmModel", batch_data, device: str | None = None):  # noqa: ARG004
+        batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
+        return np.asarray(model(batch))
+
+
 class TimmBackbone(ModelABC):
     """Foundation tile-encoder wrapper (reference TimmBackbone analog).
 

@@ -334,6 +334,16 @@ class ModelABC:
         return jitted(batch)
 
 
+def load_torch_model(model: ModelABC, weights) -> ModelABC:
+    """Load a (torch/npz/orbax) checkpoint into ``model``; returns it.
+
+    API-compat with reference ``models_abc.py:26-44`` (strict torch
+    ``state_dict`` load on CPU): torch checkpoints go through the
+    weight converter, converted results are cached as .npz.
+    """
+    return model.load_weights_from_file(weights)
+
+
 def model_to(model: ModelABC, device: str | None = None) -> ModelABC:  # noqa: ARG001
     """API-compat shim: JAX manages device placement; returns the model.
 

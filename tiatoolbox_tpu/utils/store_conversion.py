@@ -212,6 +212,61 @@ def dict_to_store_nucleus_detector(
     return store
 
 
+def patch_predictions_as_qupath_json(
+    preds,
+    class_dict: dict,
+    patch_coords,
+    *,
+    verbose: bool = True,  # noqa: ARG001 - reference API
+) -> dict:
+    """QuPath GeoJSON dict for per-patch class predictions.
+
+    Reference ``utils/misc.py`` ``patch_predictions_as_qupath_json``:
+    one rectangle feature per patch, classification name + a stable
+    tab20-style color per class index.
+    """
+    num_classes = max(len(class_dict), 1)
+    try:
+        from matplotlib import colormaps
+
+        cmap = colormaps["tab20"].resampled(num_classes)
+        class_colours = {
+            idx: [int(c * 255) for c in cmap(int(idx))[:3]] for idx in class_dict
+        }
+    except Exception:  # noqa: BLE001 - matplotlib-free fallback palette
+        class_colours = {
+            idx: [
+                (37 * (int(idx) + 1)) % 256,
+                (97 * (int(idx) + 3)) % 256,
+                (151 * (int(idx) + 7)) % 256,
+            ]
+            for idx in class_dict
+        }
+
+    features = []
+    patch_coords = np.asarray(patch_coords)
+    for i in range(patch_coords.shape[0]):
+        class_idx = int(preds[i])
+        class_name = class_dict[class_idx]
+        geometry = Polygon.from_bounds(*patch_coords[i]).to_geojson_dict()
+        features.append(
+            {
+                "type": "Feature",
+                "id": f"patch_{i}",
+                "geometry": geometry,
+                "properties": {
+                    "classification": {
+                        "name": class_name,
+                        "color": class_colours[class_idx],
+                    }
+                },
+                "objectType": "annotation",
+                "name": class_name,
+            }
+        )
+    return {"type": "FeatureCollection", "features": features}
+
+
 def store_to_qupath_json(store_or_instances, save_path: Path) -> Path:
     """Write annotations as QuPath-compatible GeoJSON features."""
     if hasattr(store_or_instances, "items"):

@@ -59,6 +59,25 @@ def overlay_prediction_mask(
     return np.clip(overlay, 0, 255).astype(np.uint8)
 
 
+def colourise_image(img: np.ndarray, cmap: str = "viridis") -> np.ndarray:
+    """Colour-map a single-channel image to RGB; pass RGB through.
+
+    Reference ``utils/visualization.py:73`` (matplotlib cmap applied
+    to a [0, 1]-scaled single-channel image; uint8 RGB returned).
+    """
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[-1] >= 3:
+        return img
+    from matplotlib import colormaps
+
+    chan = np.squeeze(img).astype(np.float32)
+    rng = chan.max() - chan.min()
+    if rng > 0:
+        chan = (chan - chan.min()) / rng
+    rgba = colormaps[cmap](chan)
+    return (rgba[..., :3] * 255).astype(np.uint8)
+
+
 def overlay_probability_map(
     img: np.ndarray,
     prediction: np.ndarray,

@@ -1378,3 +1378,44 @@ class NGFFWSIReader(ZarrWSIReader):
         if region.ndim == 2:
             region = region[:, :, None]
         return region
+
+
+# -- reference API-compat shims --------------------------------------------------
+
+
+def is_dicom(path) -> bool:
+    """Sniff WSI DICOM (reference ``wsireader.py:64``; delegates to
+    :func:`tiatoolbox_tpu.utils.magic.is_dcm`)."""
+    return magic.is_dcm(path)
+
+
+def is_tiled_tiff(path) -> bool:
+    """True when the file is a TIFF whose first directory is tiled
+    (reference ``wsireader.py:223``)."""
+    if not magic.is_tiff(path):
+        return False
+    try:
+        from tiatoolbox_tpu.wsicore.tiffio import TiffFile
+
+        return TiffFile(str(path)).pages[0].is_tiled
+    except Exception:  # noqa: BLE001 - malformed files are not tiled tiffs
+        return False
+
+
+def OpenSlideWSIReader(input_img, mpp=None, power=None, **kwargs) -> WSIReader:  # noqa: N802
+    """Open an OpenSlide-supported slide (SVS/NDPI/MRXS/generic TIFF).
+
+    API-compat factory for the reference class (``wsireader.py:1970``):
+    this build has no OpenSlide dependency — SVS/NDPI/tiled TIFF go to
+    :class:`TIFFWSIReader` (own parser) and ``.mrxs`` containers to
+    :class:`MIRAXWSIReader`, via the standard :meth:`WSIReader.open`
+    dispatch. Returns the concrete reader.
+    """
+    reader = WSIReader.open(input_img, mpp=mpp, power=power, **kwargs)
+    if not isinstance(reader, (TIFFWSIReader, MIRAXWSIReader)):
+        msg = (
+            f"{reader.__class__.__name__} handles this file; "
+            "OpenSlideWSIReader covers SVS/NDPI/MRXS/tiled-TIFF formats."
+        )
+        raise FileNotSupportedError(msg)
+    return reader
