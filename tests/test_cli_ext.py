@@ -160,3 +160,73 @@ class TestErrorPaths:
         ):
             result = CliRunner().invoke(tiatoolbox_cli, [cmd, "--help"])
             assert result.exit_code == 0, cmd
+
+
+class TestEngineOptionParity:
+    """Reference engine-command flags (device, shapes, resolutions,
+    return-probabilities, yaml IO config, detector thresholds) parse
+    and drive real runs."""
+
+    @pytest.fixture(scope="class")
+    def data(self, tmp_path_factory):
+        from tiatoolbox_tpu.data.synth import make_synthetic_slide
+
+        tmp = tmp_path_factory.mktemp("cliopt")
+        slide = tmp / "s.tiff"
+        make_synthetic_slide(slide, size=(512, 384), mpp=0.5, objective_power=20)
+        return {"tmp": tmp, "slide": str(slide)}
+
+    def test_patch_predictor_shape_and_device_flags(self, data) -> None:
+        out_dir = data["tmp"] / "pp_flags"
+        _run(
+            "patch-predictor", "--img-input", data["slide"],
+            "--output-path", str(out_dir),
+            "--pretrained-model", "resnet18-kather100k",
+            "--patch-input-shape", "112", "112",
+            "--stride-shape", "112", "112",
+            "--input-resolutions", '[{"units": "mpp", "resolution": 0.5}]',
+            "--device", "cpu", "--num-workers", "0",
+            "--return-probabilities", "True",
+            "--batch-size", "8", "--output-type", "zarr", "--quiet",
+        )
+        assert any(out_dir.rglob("*.zarr"))
+
+    def test_yaml_config_path(self, data) -> None:
+        import yaml
+
+        cfg = data["tmp"] / "io.yaml"
+        cfg.write_text(yaml.dump({
+            "input_resolutions": [{"units": "mpp", "resolution": 0.5}],
+            "patch_input_shape": [96, 96],
+            "stride_shape": [96, 96],
+        }))
+        out_dir = data["tmp"] / "pp_yaml"
+        _run(
+            "patch-predictor", "--img-input", data["slide"],
+            "--output-path", str(out_dir),
+            "--pretrained-model", "resnet18-kather100k",
+            "--yaml-config-path", str(cfg),
+            "--batch-size", "8", "--output-type", "dict", "--quiet",
+        )
+
+    def test_detector_threshold_flags_parse(self, data) -> None:
+        """Detector-specific flags reach the engine run params."""
+        result = CliRunner().invoke(
+            tiatoolbox_cli,
+            ["nucleus-detector", "--help"],
+        )
+        assert result.exit_code == 0
+        for flag in ("--min-distance", "--threshold-abs", "--threshold-rel",
+                     "--postproc-tile-shape", "--memory-threshold",
+                     "--auto-get-mask", "--scale-factor", "--class-dict",
+                     "--output-file", "--overwrite"):
+            assert flag in result.output
+
+    def test_bad_json_flag_is_a_clean_usage_error(self, data) -> None:
+        result = CliRunner().invoke(
+            tiatoolbox_cli,
+            ["patch-predictor", "--img-input", data["slide"],
+             "--input-resolutions", "{not json"],
+        )
+        assert result.exit_code != 0
+        assert "must be valid JSON" in result.output

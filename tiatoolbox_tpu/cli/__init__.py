@@ -13,21 +13,69 @@ import click
 
 from tiatoolbox_tpu import __version__
 from tiatoolbox_tpu.cli.common import (
+    cli_auto_get_mask,
     cli_batch_size,
+    cli_class_dict,
+    cli_device,
     cli_file_type,
     cli_img_input,
+    cli_input_resolutions,
     cli_masks,
+    cli_memory_threshold,
+    cli_min_distance,
     cli_mode,
+    cli_num_workers,
+    cli_output_file,
     cli_output_path,
+    cli_output_resolutions,
     cli_output_type,
+    cli_overwrite,
+    cli_patch_input_shape,
+    cli_patch_output_shape,
+    cli_postproc_tile_shape,
     cli_pretrained_model,
     cli_pretrained_weights,
     cli_resolution,
+    cli_return_predictions,
+    cli_return_probabilities,
+    cli_scale_factor,
+    cli_stride_shape,
+    cli_threshold_abs,
+    cli_threshold_rel,
     cli_units,
     cli_verbose,
+    cli_yaml_config_path,
+    load_yaml_ioconfig,
     prepare_file_dir_cli,
     tiatoolbox_cli,
 )
+
+
+def engine_options(fn):
+    """Reference engine-command option set (``cli/common.py`` usage in
+    every engine command): IO-config overrides, run-param flags, and
+    device/loader knobs. Flags an engine doesn't support are ignored
+    (the reference varies its option sets per command instead)."""
+    for deco in (
+        cli_device(),
+        cli_num_workers(),
+        cli_memory_threshold(),
+        cli_patch_input_shape(),
+        cli_stride_shape(),
+        cli_patch_output_shape(),
+        cli_input_resolutions(),
+        cli_output_resolutions(),
+        cli_return_probabilities(),
+        cli_return_predictions(),
+        cli_class_dict(),
+        cli_scale_factor(),
+        cli_overwrite(),
+        cli_output_file(),
+        cli_auto_get_mask(default=True),
+        cli_yaml_config_path(),
+    ):
+        fn = deco(fn)
+    return fn
 
 
 @tiatoolbox_cli.command(name="slide-info")
@@ -209,19 +257,67 @@ def _run_engine_cli(
     files_all, output_path = prepare_file_dir_cli(
         img_input, output_path, file_types, mode, "engine_output"
     )
+    num_workers = engine_kwargs.pop("num_workers", 0)
+    overwrite = engine_kwargs.pop("overwrite", True)
     engine = engine_cls(
         pretrained_model,
         weights=pretrained_weights,
         batch_size=batch_size,
+        num_loader_workers=num_workers,
         verbose=verbose,
     )
     masks_list = [masks] * len(files_all) if masks else None
-    # "tile" mode grid-processes plain images: convert the registry
-    # ioconfig to baseline units since tiles carry no mpp (reference
-    # semantic_segmentor.py tile-mode ioconfig conversion)
-    ioconfig = engine.ioconfig.to_baseline() if (
-        mode == "tile" and engine.ioconfig is not None
-    ) else None
+
+    # IO config precedence: yaml file > explicit resolution/shape flags
+    # > registry ioconfig (converted to baseline for "tile" mode, where
+    # plain images carry no mpp — reference semantic_segmentor.py)
+    yaml_config_path = engine_kwargs.pop("yaml_config_path", None)
+    input_resolutions = engine_kwargs.pop("input_resolutions", None)
+    output_resolutions = engine_kwargs.pop("output_resolutions", None)
+    patch_input_shape = engine_kwargs.pop("patch_input_shape", None) or None
+    stride_shape = engine_kwargs.pop("stride_shape", None) or None
+    patch_output_shape = engine_kwargs.pop("patch_output_shape", None) or None
+    if yaml_config_path:
+        ioconfig = load_yaml_ioconfig(yaml_config_path)
+    elif input_resolutions or patch_input_shape:
+        from tiatoolbox_tpu.models.engine.io_config import (
+            IOSegmentorConfig,
+            ModelIOConfigABC,
+        )
+
+        base = engine.ioconfig
+        io_kwargs = {
+            "input_resolutions": input_resolutions
+            or (base.input_resolutions if base else None)
+            or [{"units": "baseline", "resolution": 1.0}],
+            "patch_input_shape": patch_input_shape
+            or (base.patch_input_shape if base else None),
+            "stride_shape": stride_shape
+            or (base.stride_shape if base else None),
+            "output_resolutions": output_resolutions
+            or (base.output_resolutions if base else []),
+        }
+        if patch_output_shape or (
+            base is not None and getattr(base, "patch_output_shape", None)
+        ):
+            io_kwargs["patch_output_shape"] = patch_output_shape or tuple(
+                base.patch_output_shape
+            )
+            ioconfig = IOSegmentorConfig(**io_kwargs)
+        else:
+            ioconfig = ModelIOConfigABC(**io_kwargs)
+    elif mode == "tile" and engine.ioconfig is not None:
+        ioconfig = engine.ioconfig.to_baseline()
+    else:
+        ioconfig = None
+
+    # pass only the run params this engine understands (the reference
+    # instead varies option sets per command); None values stay unset
+    run_params = {
+        k: v
+        for k, v in engine_kwargs.items()
+        if v is not None and k in engine_cls._RUN_PARAMS
+    }
     out = engine.run(
         [str(f) for f in files_all],
         masks=masks_list,
@@ -229,8 +325,8 @@ def _run_engine_cli(
         patch_mode=False,
         output_type=output_type,
         save_dir=output_path / "raw",
-        overwrite=True,
-        **engine_kwargs,
+        overwrite=overwrite,
+        **run_params,
     )
     click.echo(json.dumps({str(k): str(v) for k, v in out.items()}, indent=2))
     return out
@@ -247,6 +343,7 @@ def _run_engine_cli(
 @cli_batch_size()
 @cli_output_type(default="zarr")
 @cli_verbose()
+@engine_options
 def patch_predictor(**kwargs) -> None:
     """Patch-level classification over slide(s)."""
     from tiatoolbox_tpu.models.engine.patch_predictor import PatchPredictor
@@ -265,6 +362,7 @@ def patch_predictor(**kwargs) -> None:
 @cli_batch_size()
 @cli_output_type(default="zarr")
 @cli_verbose()
+@engine_options
 def semantic_segmentor(**kwargs) -> None:
     """Semantic segmentation over slide(s)."""
     from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
@@ -283,6 +381,7 @@ def semantic_segmentor(**kwargs) -> None:
 @cli_batch_size()
 @cli_output_type(default="annotationstore")
 @cli_verbose()
+@engine_options
 def multitask_segmentor(**kwargs) -> None:
     """Multi-task (instance) segmentation over slide(s)."""
     from tiatoolbox_tpu.models.engine.multi_task_segmentor import MultiTaskSegmentor
@@ -301,6 +400,7 @@ def multitask_segmentor(**kwargs) -> None:
 @cli_batch_size()
 @cli_output_type(default="annotationstore")
 @cli_verbose()
+@engine_options
 def nucleus_instance_segment(**kwargs) -> None:
     """Nucleus instance segmentation (deprecated alias engine)."""
     from tiatoolbox_tpu.models.engine.multi_task_segmentor import (
@@ -321,6 +421,11 @@ def nucleus_instance_segment(**kwargs) -> None:
 @cli_batch_size()
 @cli_output_type(default="annotationstore")
 @cli_verbose()
+@engine_options
+@cli_min_distance()
+@cli_threshold_abs()
+@cli_threshold_rel()
+@cli_postproc_tile_shape()
 def nucleus_detector(**kwargs) -> None:
     """Nucleus detection over slide(s)."""
     from tiatoolbox_tpu.models.engine.nucleus_detector import NucleusDetector
@@ -339,6 +444,7 @@ def nucleus_detector(**kwargs) -> None:
 @cli_batch_size()
 @cli_output_type(default="zarr")
 @cli_verbose()
+@engine_options
 def deep_feature_extractor(**kwargs) -> None:
     """Deep feature extraction over slide(s)."""
     from tiatoolbox_tpu.models.engine.deep_feature_extractor import (
