@@ -122,6 +122,29 @@ class TestNucleusDetector:
         assert len(result["coordinates"]) == 2
         assert result["coordinates"][0].tolist() == [10, 10]  # (x, y)
 
+    def test_run_param_overrides_reach_detect(self) -> None:
+        """min_distance / threshold_abs / threshold_rel run params take
+        precedence over model attributes (CLI --min-distance etc.)."""
+        from tiatoolbox_tpu.models.architecture.mapde import MapDe
+        from tiatoolbox_tpu.models.engine.nucleus_detector import NucleusDetector
+
+        model = MapDe(num_classes=1, threshold_abs=0.5, min_distance=4)
+        model.init()
+        det = NucleusDetector(model, batch_size=1, num_loader_workers=0)
+        prob_map = np.zeros((64, 64, 1), np.float32)
+        prob_map[10, 10] = 1.0
+        prob_map[10, 16] = 0.6  # 6 px away, below the 0.7 abs override
+        # defaults (model attrs): both peaks found (dist 6 >= 4, both > 0.5)
+        base = det._detect(prob_map)
+        assert len(base["coordinates"]) == 2
+        det._update_run_params(min_distance=8, threshold_abs=0.7)
+        tuned = det._detect(prob_map)
+        assert len(tuned["coordinates"]) == 1
+        det._update_run_params(min_distance=4, threshold_abs=0.1,
+                               threshold_rel=0.8)
+        rel = det._detect(prob_map)  # rel 0.8*1.0 suppresses the 0.6 peak
+        assert len(rel["coordinates"]) == 1
+
 
 class TestDeepFeatureExtractor:
     def test_features(self) -> None:

@@ -40,6 +40,38 @@ class TestIdars:
         )
         assert np.asarray(out).shape == (2, 2)
 
+    def test_engine_values_match_direct_forward(self) -> None:
+        """End-to-end VALUE check: the engine path (host idars preproc
+        → float batch → device program) must equal the module applied
+        to the preprocessed input — regression for the double-/255 the
+        uint8 wire path used to apply on already-normalized floats."""
+        import jax.numpy as jnp
+
+        from tiatoolbox_tpu.models.architecture import get_pretrained_model
+        from tiatoolbox_tpu.models.engine.patch_predictor import PatchPredictor
+
+        model, ioconfig = get_pretrained_model("resnet18-idars-braf")
+        rng = np.random.default_rng(0)
+        patches = rng.integers(0, 255, (4, 96, 96, 3), np.uint8)
+        pred = PatchPredictor(model=model, batch_size=2, verbose=False)
+        out = pred.run(patches, patch_mode=True, ioconfig=ioconfig)
+        got = np.asarray(out["probabilities"])
+        pre = np.stack([model.preproc_func(p) for p in patches])
+        ref = np.asarray(
+            model.module.apply(
+                model.variables, jnp.asarray(pre, model.compute_dtype)
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        # and the values genuinely depend on the preproc (a /255'd
+        # input gives different outputs)
+        wrong = np.asarray(
+            model.module.apply(
+                model.variables, jnp.asarray(pre / 255.0, model.compute_dtype)
+            )
+        )
+        assert not np.allclose(got, wrong, atol=1e-3)
+
 
 class TestTimmModel:
     def test_classifier_head(self) -> None:

@@ -210,7 +210,14 @@ class TestEngineOptionParity:
         )
 
     def test_detector_threshold_flags_parse(self, data) -> None:
-        """Detector-specific flags reach the engine run params."""
+        """Detector-specific flags exist and are in the engine's
+        accepted run-param set (value effects are unit-tested in
+        tests/engines/test_segmentors.py::test_run_param_overrides_
+        reach_detect)."""
+        from tiatoolbox_tpu.models.engine.nucleus_detector import (
+            NucleusDetector,
+        )
+
         result = CliRunner().invoke(
             tiatoolbox_cli,
             ["nucleus-detector", "--help"],
@@ -221,6 +228,21 @@ class TestEngineOptionParity:
                      "--auto-get-mask", "--scale-factor", "--class-dict",
                      "--output-file", "--overwrite"):
             assert flag in result.output
+        for param in ("min_distance", "threshold_abs", "threshold_rel",
+                      "postproc_tile_shape"):
+            assert param in NucleusDetector._RUN_PARAMS
+
+    def test_stride_shape_alone_builds_ioconfig(self, data) -> None:
+        """--stride-shape without --patch-input-shape must take effect
+        (it used to be silently dropped)."""
+        out_dir = data["tmp"] / "pp_stride"
+        _run(
+            "patch-predictor", "--img-input", data["slide"],
+            "--output-path", str(out_dir),
+            "--pretrained-model", "resnet18-kather100k",
+            "--stride-shape", "112", "112",
+            "--batch-size", "8", "--output-type", "dict", "--quiet",
+        )
 
     def test_bad_json_flag_is_a_clean_usage_error(self, data) -> None:
         result = CliRunner().invoke(

@@ -47,6 +47,32 @@ class TestDefaults:
 
 
 class TestCodec:
+    def test_tolerates_sparse_third_party_attrs(self) -> None:
+        """Axes without "type" (a SHOULD pre-0.4), vendor extension
+        keys, and partial omero blocks parse with defaults instead of
+        raising."""
+        attrs = {
+            "multiscales": [
+                {
+                    "axes": [
+                        {"name": "y", "vendorkey": 1},
+                        {"name": "x"},
+                        {"name": "c"},
+                        {"name": "t"},
+                    ],
+                    "datasets": [{"path": "0"}],
+                }
+            ],
+            "omero": {"channels": [{"color": "00FF00", "extension": True}]},
+        }
+        z = Zattrs.from_dict(attrs)
+        ms = z.multiscales[0]
+        assert [a.type for a in ms.axes] == [
+            "space", "space", "channel", "time",
+        ]
+        assert z.omero.channels[0].color == "00FF00"
+        assert isinstance(z.omero.channels[0].window, Window)
+
     def test_roundtrip(self) -> None:
         z = Zattrs(
             multiscales=[

@@ -538,30 +538,25 @@ def geometry_distance(a: Geometry, b: Geometry) -> float:
 def _min_dist2_pts_to_polyline(pts: np.ndarray, line: np.ndarray) -> float:
     """Min squared distance from any of ``pts`` [P,2] to polyline [S+1,2].
 
-    One vectorized [P,S] evaluation (point-to-segment projection),
-    replacing the per-point loop — nquery's exact phase calls this for
-    every surviving candidate pair.
+    Vectorized point-to-segment projection, evaluated in point blocks
+    so the [P_blk, S, 2] temporaries stay bounded (~64 MB) even for
+    region-scale contours with tens of thousands of vertices each —
+    the fully-materialized [P, S] form would need O(P*S) memory.
     """
     if len(line) == 1:
         return float(((pts - line[0]) ** 2).sum(axis=1).min())
     p0, p1 = line[:-1], line[1:]  # [S,2]
     d = p1 - p0
-    seg_len2 = (d**2).sum(axis=1)  # [S]
-    # t[p,s] = clamped projection parameter of point p onto segment s
-    rel = pts[:, None, :] - p0[None, :, :]  # [P,S,2]
-    t = np.clip(
-        (rel * d[None, :, :]).sum(axis=2) / np.where(seg_len2 > 0, seg_len2, 1),
-        0,
-        1,
-    )
-    proj = p0[None, :, :] + t[:, :, None] * d[None, :, :]
-    return float(((pts[:, None, :] - proj) ** 2).sum(axis=2).min())
-
-
-def _min_dist_to_polyline(line: np.ndarray, x: float, y: float) -> float:
-    return float(
-        np.sqrt(_min_dist2_pts_to_polyline(np.array([[x, y]], float), line))
-    )
+    seg_len2 = np.where((d**2).sum(axis=1) > 0, (d**2).sum(axis=1), 1)  # [S]
+    block = max(1, int(4_000_000 // max(len(p0), 1)))
+    best = np.inf
+    for s in range(0, len(pts), block):
+        pb = pts[s : s + block]
+        rel = pb[:, None, :] - p0[None, :, :]  # [P_blk,S,2]
+        t = np.clip((rel * d[None, :, :]).sum(axis=2) / seg_len2, 0, 1)
+        proj = p0[None, :, :] + t[:, :, None] * d[None, :, :]
+        best = min(best, float(((pb[:, None, :] - proj) ** 2).sum(axis=2).min()))
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -257,14 +257,17 @@ def _run_engine_cli(
     files_all, output_path = prepare_file_dir_cli(
         img_input, output_path, file_types, mode, "engine_output"
     )
-    num_workers = engine_kwargs.pop("num_workers", 0)
+    num_workers = engine_kwargs.pop("num_workers", None)
     overwrite = engine_kwargs.pop("overwrite", True)
+    engine_init_kwargs = {}
+    if num_workers is not None:
+        engine_init_kwargs["num_loader_workers"] = num_workers
     engine = engine_cls(
         pretrained_model,
         weights=pretrained_weights,
         batch_size=batch_size,
-        num_loader_workers=num_workers,
         verbose=verbose,
+        **engine_init_kwargs,
     )
     masks_list = [masks] * len(files_all) if masks else None
 
@@ -279,7 +282,13 @@ def _run_engine_cli(
     patch_output_shape = engine_kwargs.pop("patch_output_shape", None) or None
     if yaml_config_path:
         ioconfig = load_yaml_ioconfig(yaml_config_path)
-    elif input_resolutions or patch_input_shape:
+    elif (
+        input_resolutions
+        or patch_input_shape
+        or stride_shape
+        or patch_output_shape
+        or output_resolutions
+    ):
         from tiatoolbox_tpu.models.engine.io_config import (
             IOSegmentorConfig,
             ModelIOConfigABC,

@@ -113,8 +113,9 @@ def cli_device(default: str = "cpu"):
     )
 
 
-def cli_num_workers(default: int = 0):
-    """Shared --num-workers option (host loader threads)."""
+def cli_num_workers(default=None):
+    """Shared --num-workers option (host loader threads; default None
+    keeps the engine's own default rather than forcing a value)."""
     return click.option("--num-workers", default=default, type=int)
 
 

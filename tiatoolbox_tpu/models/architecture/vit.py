@@ -203,9 +203,6 @@ class TimmModel(ModelABC):
         self.backbone = backbone
         self.num_classes = num_classes
 
-    def init(self, rng_key=None, input_shape=(1, 224, 224, 3)) -> None:
-        super().init(rng_key, input_shape)
-
     @staticmethod
     def infer_batch(model: "TimmModel", batch_data, device: str | None = None):  # noqa: ARG004
         batch = jnp.asarray(batch_data).astype(model.compute_dtype) / 255.0
@@ -233,9 +230,6 @@ class TimmBackbone(ModelABC):
             raise ValueError(msg)
         super().__init__(module, **kwargs)
         self.backbone = backbone
-
-    def init(self, rng_key=None, input_shape=(1, 224, 224, 3)) -> None:
-        super().init(rng_key, input_shape)
 
     @staticmethod
     def infer_batch(model: "TimmBackbone", batch_data, device: str | None = None):  # noqa: ARG004

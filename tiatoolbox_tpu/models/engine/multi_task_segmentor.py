@@ -60,6 +60,11 @@ class MultiTaskSegmentor(SemanticSegmentor):
         self.tile_shape = (2048, 2048)
         self.margin = 128
         self.full_postproc_limit = 4096 * 4096  # px; above → tile mode
+        # reference MultiTaskSegmentorRunParams: also return the
+        # stitched per-task dense maps
+        self.return_predictions = False
+
+    _RUN_PARAMS = (*SemanticSegmentor._RUN_PARAMS, "return_predictions")
 
     # -- inference + merge -----------------------------------------------------------
 
@@ -348,6 +353,10 @@ class MultiTaskSegmentor(SemanticSegmentor):
         out = {"instances": instances, "canvas_wh": canvas_wh}
         if semantic:
             out["semantic_predictions"] = semantic
+        if getattr(self, "return_predictions", False):
+            # reference MultiTaskSegmentorRunParams.return_predictions:
+            # include the stitched per-task dense maps in the output
+            out["predictions"] = [np.asarray(m) for m in head_maps]
         return out
 
     # -- reference 4-pass tile scheme --------------------------------------------------

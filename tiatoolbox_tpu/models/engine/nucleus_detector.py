@@ -20,11 +20,32 @@ from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
 
 class NucleusDetectorRunParams(dict):
     """``NucleusDetector.run`` keyword arguments: EngineABCRunParams
-    plus min_distance / threshold_abs peak-detection overrides."""
+    plus min_distance / threshold_abs / threshold_rel /
+    postproc_tile_shape peak-detection overrides."""
 
 
 class NucleusDetector(SemanticSegmentor):
-    """Detection engine for MapDe / SCCNN-style centroid-map models."""
+    """Detection engine for MapDe / SCCNN-style centroid-map models.
+
+    Run-param precedence for the peak detector: explicit run kwargs >
+    the model's registry attributes > defaults (6 px / 0.5), matching
+    the reference's CLI overrides (``nucleus_detector.py`` run params).
+    """
+
+    _RUN_PARAMS = (
+        *SemanticSegmentor._RUN_PARAMS,
+        "min_distance",
+        "threshold_abs",
+        "threshold_rel",
+        "postproc_tile_shape",
+    )
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.min_distance: int | None = None
+        self.threshold_abs: float | None = None
+        self.threshold_rel: float | None = None
+        self.postproc_tile_shape: tuple[int, int] | None = None
 
     def post_process_patches(self, raw_predictions: dict, **kwargs) -> dict:  # noqa: ARG002
         """Per-patch peak detection → per-patch detection arrays."""
@@ -40,7 +61,11 @@ class NucleusDetector(SemanticSegmentor):
         """Stitched map → WSI-space detection arrays."""
         canvas = raw_predictions["probabilities"]
         h = canvas.shape[0]
-        tile = 4096
+        tile = (
+            int(self.postproc_tile_shape[0])
+            if self.postproc_tile_shape
+            else 4096
+        )
         overlap = 32
         all_coords, all_scores, all_types = [], [], []
         for y0 in range(0, h, tile):
@@ -69,16 +94,32 @@ class NucleusDetector(SemanticSegmentor):
 
     def _detect(self, prob_map: np.ndarray) -> dict:
         """Peaks + NMS on an HWC centroid map → (x, y) detections."""
-        min_distance = getattr(self.model, "min_distance", 6)
-        threshold_abs = getattr(self.model, "threshold_abs", 0.5)
+        run_min_distance = getattr(self, "min_distance", None)
+        run_threshold_abs = getattr(self, "threshold_abs", None)
+        min_distance = (
+            run_min_distance
+            if run_min_distance is not None
+            else getattr(self.model, "min_distance", 6)
+        )
+        threshold_abs = (
+            run_threshold_abs
+            if run_threshold_abs is not None
+            else getattr(self.model, "threshold_abs", 0.5)
+        )
         coords_list, scores_list, types_list = [], [], []
         if prob_map.ndim == 2:
             prob_map = prob_map[:, :, None]
+        threshold_rel = getattr(self, "threshold_rel", None)
         for c in range(prob_map.shape[-1]):
+            threshold = threshold_abs
+            if threshold_rel is not None:
+                threshold = max(
+                    threshold, float(prob_map[..., c].max()) * threshold_rel
+                )
             peaks = peak_detection_map_overlap(
                 prob_map[..., c],
                 min_distance=min_distance,
-                threshold_abs=threshold_abs,
+                threshold_abs=threshold,
             )
             if not len(peaks):
                 continue

@@ -55,6 +55,12 @@ class ModelABC:
         # bytes/patch — see ops/colorconv.py) unpacked on device.
         self.wire_format = "rgb"
 
+    # Closure-constant weights ride inside the serialized computation;
+    # remote-compile transports reject oversized payloads (the tunnel's
+    # endpoint returns HTTP 413 for MapDe's 738 MB f32 tree), so trees
+    # above this bake threshold fall back to per-call arguments.
+    _BIND_JIT_MAX_CONST_BYTES = 192 * 1024 * 1024
+
     def bind_jit(self, fn: Callable) -> Callable:
         """jit ``fn(variables, batch)`` with the CURRENT weights baked
         in as closure constants; returns a 1-arg program ``(batch)``.
@@ -63,11 +69,19 @@ class ModelABC:
         per-leaf RPC marshalling on remote-attached backends — measured
         ~390 ms/call for HoVerNet's 667 leaves over the TPU tunnel vs
         ~0 for closure constants embedded in the executable once
-        (4.5x on every serving batch). All cached programs built this
-        way are dropped by :meth:`_invalidate_jitted` whenever weights
-        change.
+        (4.5x on every serving batch). Trees larger than
+        ``_BIND_JIT_MAX_CONST_BYTES`` keep the argument-passing form so
+        the compile payload stays transportable. All cached programs
+        built this way are dropped by :meth:`_invalidate_jitted`
+        whenever weights change.
         """
         variables = self.variables
+        total_bytes = sum(
+            getattr(x, "nbytes", 0) for x in jax.tree_util.tree_leaves(variables)
+        )
+        if total_bytes > self._BIND_JIT_MAX_CONST_BYTES:
+            jitted = jax.jit(fn)
+            return lambda batch: jitted(variables, batch)
         return jax.jit(lambda batch: fn(variables, batch))
 
     def _invalidate_jitted(self) -> None:
@@ -137,6 +151,7 @@ class ModelABC:
                 self.variables = _init()
         else:
             self.variables = _init()
+        self._invalidate_jitted()
 
     def load_weights(self, variables: dict) -> None:
         """Attach a flax variables dict (e.g. from the torch converter)."""
@@ -212,6 +227,11 @@ class ModelABC:
         if self.variables is None:
             msg = "Model has no weights; call init() or load_weights() first."
             raise RuntimeError(msg)
+        if jnp.issubdtype(getattr(batch_u8, "dtype", np.uint8), np.floating):
+            # a float batch means a host preproc hook (e.g. IDaRS's
+            # Normalize(0.5, 0.1)) already produced model-ready inputs —
+            # re-scaling by /255 here would corrupt them
+            return self(jnp.asarray(batch_u8, self.compute_dtype))
         if getattr(batch_u8, "ndim", 4) == 3:  # packed yuv420 planes
             if self._jitted_yuv is None:
                 from tiatoolbox_tpu.ops.colorconv import yuv420_batch_to_rgb

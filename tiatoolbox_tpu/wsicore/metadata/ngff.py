@@ -161,13 +161,29 @@ class Zattrs:
     def from_dict(cls, attrs: dict) -> "Zattrs":
         """Parse a .zattrs mapping into typed objects (tolerant of
         missing blocks — defaults fill in)."""
-        creator = Creator(**attrs.get("_creator", {}))
+        creator_raw = attrs.get("_creator", {})
+        creator = Creator(
+            name=creator_raw.get("name", "unknown"),
+            version=str(creator_raw.get("version", "")),
+        )
+
+        def _axis(a: dict) -> Axis:
+            # tolerate spec-optional / vendor fields: "type" is a
+            # SHOULD (pre-0.4 writers omit it) — infer from the name
+            name = a.get("name", "x")
+            default_type = {"c": "channel", "t": "time"}.get(name, "space")
+            return Axis(
+                name=name,
+                type=a.get("type", default_type),
+                unit=a.get("unit"),
+            )
+
         ms_raw = attrs.get("multiscales", [{}])
         if isinstance(ms_raw, dict):
             ms_raw = [ms_raw]
         multiscales = [
             Multiscales(
-                axes=[Axis(**a) for a in m.get("axes", [])]
+                axes=[_axis(a) for a in m.get("axes", [])]
                 or Multiscales().axes,
                 datasets=[
                     Dataset(
@@ -188,22 +204,39 @@ class Zattrs:
             for m in ms_raw
         ]
         omero_raw = attrs.get("omero", {})
+
+        def _channel(c: dict) -> Channel:
+            defaults = Channel()
+            win = c.get("window")
+            window = (
+                Window(**{
+                    k: win.get(k, getattr(Window(), k))
+                    for k in ("end", "max", "min", "start")
+                })
+                if isinstance(win, dict)
+                else Window()
+            )
+            return Channel(
+                active=c.get("active", defaults.active),
+                coefficient=c.get("coefficient", defaults.coefficient),
+                color=c.get("color", defaults.color),
+                family=c.get("family", defaults.family),
+                inverted=c.get("inverted", defaults.inverted),
+                label=c.get("label", defaults.label),
+                window=window,
+            )
+
+        rdefs_raw = omero_raw.get("rdefs", {})
         omero = Omero(
             name=omero_raw.get("name"),
             id=omero_raw.get("id", 1),
-            channels=[
-                Channel(
-                    **{
-                        **c,
-                        "window": Window(**c["window"])
-                        if isinstance(c.get("window"), dict)
-                        else Window(),
-                    }
-                )
-                for c in omero_raw.get("channels", [])
-            ]
+            channels=[_channel(c) for c in omero_raw.get("channels", [])]
             or Omero().channels,
-            rdefs=RDefs(**omero_raw.get("rdefs", {})),
+            rdefs=RDefs(
+                defaultT=rdefs_raw.get("defaultT", 0),
+                defaultZ=rdefs_raw.get("defaultZ", 0),
+                model=rdefs_raw.get("model", "color"),
+            ),
             version=str(omero_raw.get("version", "0.4")),
         )
         return cls(
