@@ -227,3 +227,85 @@ class TestCodecs:
         assert a == b
         assert hash(a) == hash(b)
         assert a != Polygon.from_bounds(0, 0, 3, 3)
+
+
+class TestGeometryCollection:
+    """Heterogeneous WKB type-7 collections (Shapely stores can hold
+    them, e.g. persisted intersection results)."""
+
+    def _sample(self):
+        from tiatoolbox_tpu.annotation.geometry import (
+            GeometryCollection,
+            LineString,
+            Point,
+            Polygon,
+        )
+
+        return GeometryCollection([
+            Point(1.5, 2.5),
+            LineString([(0, 0), (3, 4)]),
+            Polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]),
+        ])
+
+    def test_wkb_roundtrip(self) -> None:
+        from tiatoolbox_tpu.annotation.geometry import (
+            GeometryCollection,
+            wkb_to_geometry,
+        )
+
+        gc = self._sample()
+        back = wkb_to_geometry(gc.to_wkb())
+        assert isinstance(back, GeometryCollection)
+        assert [g.geom_type for g in back.geoms] == [
+            "Point", "LineString", "Polygon",
+        ]
+        assert back.to_wkb() == gc.to_wkb()
+
+    def test_wkt_roundtrip_with_typed_members(self) -> None:
+        from tiatoolbox_tpu.annotation.geometry import wkt_to_geometry
+
+        gc = self._sample()
+        wkt = gc.to_wkt()
+        assert wkt.startswith("GEOMETRYCOLLECTION (POINT")
+        back = wkt_to_geometry(wkt)
+        assert back.to_wkt() == wkt
+        empty = wkt_to_geometry("GEOMETRYCOLLECTION EMPTY")
+        assert empty.geoms == []
+
+    def test_geojson_roundtrip(self) -> None:
+        from tiatoolbox_tpu.annotation.geometry import geojson_to_geometry
+
+        gc = self._sample()
+        d = gc.to_geojson_dict()
+        assert d["type"] == "GeometryCollection"
+        assert len(d["geometries"]) == 3
+        back = geojson_to_geometry(d)
+        assert back.to_wkb() == gc.to_wkb()
+
+    def test_measures_and_enum(self) -> None:
+        from tiatoolbox_tpu.enums import GeometryType
+
+        gc = self._sample()
+        assert gc.area == pytest.approx(16.0)
+        assert gc.bounds == (0, 0, 4, 4)
+        assert GeometryType(gc.geom_type) == GeometryType.GEOMETRY_COLLECTION
+
+    def test_store_roundtrip_both_backends(self) -> None:
+        from tiatoolbox_tpu.annotation.storage import (
+            Annotation,
+            DictionaryStore,
+            SQLiteStore,
+        )
+
+        for cls in (SQLiteStore, DictionaryStore):
+            store = cls(":memory:")
+            store["gc"] = Annotation(self._sample(), {"kind": "mixed"})
+            ann = store["gc"]
+            assert ann.geometry.to_wkb() == self._sample().to_wkb()
+            assert "gc" in store.query((0, 0, 5, 5))
+
+    def test_rejects_non_geometry_members(self) -> None:
+        from tiatoolbox_tpu.annotation.geometry import GeometryCollection
+
+        with pytest.raises(TypeError, match="Geometry instances"):
+            GeometryCollection([(0, 0), (1, 1)])

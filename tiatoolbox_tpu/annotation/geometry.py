@@ -367,6 +367,40 @@ class MultiPolygon(_Multi):
     wkb_code = WKB_MULTIPOLYGON
 
 
+class GeometryCollection(_Multi):
+    """A heterogeneous collection of geometries (WKB type 7).
+
+    Shapely/GEOS stores can hold these (e.g. an intersection result
+    persisted by the reference), so the codecs round-trip them even
+    though no first-party tool produces them.
+    """
+
+    geom_type = "GeometryCollection"
+    member_type = Geometry
+    wkb_code = WKB_GEOMETRYCOLLECTION
+
+    def __init__(self, geoms) -> None:
+        geoms = list(geoms)
+        for g in geoms:
+            if not isinstance(g, Geometry):
+                msg = "GeometryCollection members must be Geometry instances."
+                raise TypeError(msg)
+        self.geoms = geoms
+
+    def to_wkt(self) -> str:
+        # members keep their own type names (unlike homogeneous multis)
+        inner = ", ".join(g.to_wkt() for g in self.geoms)
+        return f"GEOMETRYCOLLECTION ({inner})" if self.geoms else (
+            "GEOMETRYCOLLECTION EMPTY"
+        )
+
+    def to_geojson_dict(self) -> dict:
+        return {
+            "type": "GeometryCollection",
+            "geometries": [g.to_geojson_dict() for g in self.geoms],
+        }
+
+
 def _fmt(v: float) -> str:
     return f"{v:.10g}"
 
@@ -595,7 +629,12 @@ def _decode_wkb(data: bytes, offset: int) -> tuple[Geometry, int]:
             rings.append(coords.reshape(-1, 2))
             offset += 16 * n
         return Polygon(rings[0], rings[1:]), offset
-    if geom_type in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON):
+    if geom_type in (
+        WKB_MULTIPOINT,
+        WKB_MULTILINESTRING,
+        WKB_MULTIPOLYGON,
+        WKB_GEOMETRYCOLLECTION,
+    ):
         (n,) = struct.unpack_from(bo + "I", data, offset)
         offset += 4
         members = []
@@ -606,6 +645,7 @@ def _decode_wkb(data: bytes, offset: int) -> tuple[Geometry, int]:
             WKB_MULTIPOINT: MultiPoint,
             WKB_MULTILINESTRING: MultiLineString,
             WKB_MULTIPOLYGON: MultiPolygon,
+            WKB_GEOMETRYCOLLECTION: GeometryCollection,
         }[geom_type]
         return cls(members), offset
     msg = f"Unsupported WKB geometry type: {geom_type}"
@@ -617,6 +657,10 @@ def geojson_to_geometry(obj: dict | str) -> Geometry:
     if isinstance(obj, str):
         obj = json.loads(obj)
     gtype = obj["type"]
+    if gtype == "GeometryCollection":
+        return GeometryCollection(
+            [geojson_to_geometry(g) for g in obj["geometries"]]
+        )
     coords = obj["coordinates"]
     if gtype == "Point":
         return Point(coords)
@@ -675,8 +719,48 @@ def wkt_to_geometry(wkt: str) -> Geometry:
                 Polygon(parse_ring(rings[0]), [parse_ring(r) for r in rings[1:]])
             )
         return MultiPolygon(polys)
+    if name.replace(" ", "") == "GEOMETRYCOLLECTIONEMPTY":
+        return GeometryCollection([])
+    if name == "GEOMETRYCOLLECTION":
+        return GeometryCollection(
+            [wkt_to_geometry(m) for m in _split_top_level(body)]
+        )
     msg = f"Unsupported WKT type: {name}"
     raise ValueError(msg)
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a GEOMETRYCOLLECTION body into member WKT strings.
+
+    Members are comma-separated at parenthesis depth 1 (each member
+    carries its own type name and parenthesized coordinates).
+    """
+    body = body.strip()
+    if not body.startswith("(") or not body.endswith(")"):
+        msg = "Malformed GEOMETRYCOLLECTION body"
+        raise ValueError(msg)
+    inner = body[1:-1]
+    members = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                msg = "Unbalanced parentheses in WKT body"
+                raise ValueError(msg)
+        elif ch == "," and depth == 0:
+            members.append(inner[start:i].strip())
+            start = i + 1
+    if depth != 0:
+        msg = "Unbalanced parentheses in WKT body"
+        raise ValueError(msg)
+    tail = inner[start:].strip()
+    if tail:
+        members.append(tail)
+    return members
 
 
 def _depth2_groups(body: str) -> list[str]:
