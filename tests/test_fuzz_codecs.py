@@ -30,8 +30,15 @@ from tiatoolbox_tpu.annotation.geometry import (
 N_FUZZ = 50
 
 
-def random_geometry(rng: np.random.Generator):
-    kind = int(rng.integers(0, 6))
+def random_geometry(rng: np.random.Generator, *, allow_collection: bool = True):
+    from tiatoolbox_tpu.annotation.geometry import GeometryCollection
+
+    kind = int(rng.integers(0, 7 if allow_collection else 6))
+    if kind == 6:
+        return GeometryCollection([
+            random_geometry(rng, allow_collection=False)
+            for _ in range(int(rng.integers(1, 4)))
+        ])
 
     def ring(n):
         pts = rng.normal(0, 100, (n, 2)).round(3)
