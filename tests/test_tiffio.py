@@ -129,3 +129,74 @@ def test_prefetch_ignores_non_jpeg(tmp_path) -> None:
     tf = TiffFile(path)
     tf.prefetch_regions(0, [(0, 0, 256, 256)])  # no-op, must not raise
     assert np.array_equal(tf.read_region(0, (0, 0), (256, 256)), img)
+
+
+class TestNativeLzw:
+    """C++ TIFF-LZW decoder (native/lzw.cpp) vs the pure-Python path."""
+
+    def test_matches_python_on_real_streams(self, tmp_path, rgb_image) -> None:
+        from tiatoolbox_tpu import native
+        from tiatoolbox_tpu.wsicore.tiffio import _lzw_decode
+
+        if native.get_library() is None:
+            pytest.skip("native toolchain unavailable")
+        path = tmp_path / "l.tiff"
+        Image.fromarray(rgb_image).save(path, compression="tiff_lzw")
+        tf = TiffFile(path)
+        page = tf.pages[0]
+        # decode every strip both ways
+        offsets = page.offsets
+        sizes = page.byte_counts
+        with open(path, "rb") as fh:
+            for off, size in zip(offsets, sizes):
+                fh.seek(off)
+                stream = fh.read(size)
+                py = _lzw_decode(stream)
+                nat = native.lzw_decode(stream, len(py) + 16)
+                assert nat == py
+
+    def test_reader_roundtrip_uses_native(self, tmp_path, rgb_image) -> None:
+        from tiatoolbox_tpu import native
+
+        if native.get_library() is None:
+            pytest.skip("native toolchain unavailable")
+        path = tmp_path / "l2.tiff"
+        Image.fromarray(rgb_image).save(path, compression="tiff_lzw")
+        out = TiffFile(path).read_region(0, (0, 0), (130, 97))
+        assert np.array_equal(out, rgb_image)
+
+    def test_malformed_stream_returns_none(self) -> None:
+        from tiatoolbox_tpu import native
+
+        if native.get_library() is None:
+            pytest.skip("native toolchain unavailable")
+        # code 300 appears before the table grows that far -> corrupt
+        bad = bytes([0x80, 0x12, 0xC0, 0xFF, 0xFF])
+        assert native.lzw_decode(bad, 1024) is None
+
+    def test_speedup_sanity(self, rgb_image) -> None:
+        """Native should be much faster; just assert both decode a
+        sizeable stream identically (timing varies on shared hosts)."""
+        import io as _io
+
+        from tiatoolbox_tpu import native
+        from tiatoolbox_tpu.wsicore.tiffio import _lzw_decode
+
+        if native.get_library() is None:
+            pytest.skip("native toolchain unavailable")
+        big = np.tile(rgb_image, (4, 4, 1))
+        buf = _io.BytesIO()
+        Image.fromarray(big).save(buf, format="TIFF", compression="tiff_lzw")
+        buf.seek(0)
+        tf_big = TiffFile.__new__(TiffFile)
+        # simpler: decode through the public reader
+        import tempfile
+        from pathlib import Path as _P
+
+        with tempfile.TemporaryDirectory() as td:
+            p = _P(td) / "big.tiff"
+            p.write_bytes(buf.getvalue())
+            out = TiffFile(p).read_region(
+                0, (0, 0), (big.shape[1], big.shape[0])
+            )
+        assert np.array_equal(out, big)

@@ -25,7 +25,7 @@ _lib_checked = False
 
 def _source_paths() -> list[Path]:
     here = Path(__file__).parent
-    return [here / "jpegdec.cpp", here / "watershed.cpp"]
+    return [here / "jpegdec.cpp", here / "watershed.cpp", here / "lzw.cpp"]
 
 
 def _build_library(out_path: Path) -> bool:
@@ -97,6 +97,13 @@ def get_library():
         ctypes.c_void_p,  # out int32
     ]
     lib.tiatpu_watershed.restype = ctypes.c_int
+    lib.tiatpu_lzw_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_void_p,
+        ctypes.c_uint64,
+    ]
+    lib.tiatpu_lzw_decode.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -163,3 +170,18 @@ def decode_jpeg_batch(
         logger.warning("Native JPEG decode: %d tile(s) failed.", failures)
         return None
     return out
+
+
+def lzw_decode(data: bytes, expected_size: int) -> bytes | None:
+    """Native TIFF-LZW decode; None when the library is unavailable or
+    the stream is malformed (caller falls back to pure Python)."""
+    lib = get_library()
+    if lib is None:
+        return None
+    out = np.empty(expected_size, np.uint8)
+    n = lib.tiatpu_lzw_decode(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), expected_size
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -428,7 +428,12 @@ class TiffFile:
             elif comp == COMPRESSION_PACKBITS:
                 raw = _packbits_decode(data)
             elif comp == COMPRESSION_LZW:
-                raw = _lzw_decode(data)
+                from tiatoolbox_tpu import native
+
+                expected = h * w * spp * np.dtype(page.dtype).itemsize
+                raw = native.lzw_decode(data, expected)
+                if raw is None:  # no toolchain / malformed: python path
+                    raw = _lzw_decode(data)
             else:
                 msg = f"Unsupported TIFF compression: {comp}"
                 raise ValueError(msg)
