@@ -200,3 +200,20 @@ class TestNativeLzw:
                 0, (0, 0), (big.shape[1], big.shape[0])
             )
         assert np.array_equal(out, big)
+
+    def test_packbits_native_matches_python(self, tmp_path, rgb_image) -> None:
+        from tiatoolbox_tpu import native
+        from tiatoolbox_tpu.wsicore.tiffio import _packbits_decode
+
+        if native.get_library() is None:
+            pytest.skip("native toolchain unavailable")
+        path = tmp_path / "pb.tiff"
+        Image.fromarray(rgb_image).save(path, compression="packbits")
+        tf = TiffFile(path)
+        page = tf.pages[0]
+        with open(path, "rb") as fh:
+            for off, size in zip(page.offsets, page.byte_counts):
+                fh.seek(off)
+                stream = fh.read(size)
+                py = _packbits_decode(stream)
+                assert native.packbits_decode(stream, len(py) + 8) == py

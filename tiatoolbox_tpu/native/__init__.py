@@ -104,6 +104,13 @@ def get_library():
         ctypes.c_uint64,
     ]
     lib.tiatpu_lzw_decode.restype = ctypes.c_int64
+    lib.tiatpu_packbits_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_void_p,
+        ctypes.c_uint64,
+    ]
+    lib.tiatpu_packbits_decode.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -180,6 +187,20 @@ def lzw_decode(data: bytes, expected_size: int) -> bytes | None:
         return None
     out = np.empty(expected_size, np.uint8)
     n = lib.tiatpu_lzw_decode(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), expected_size
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def packbits_decode(data: bytes, expected_size: int) -> bytes | None:
+    """Native PackBits decode; None when unavailable/overflowing."""
+    lib = get_library()
+    if lib is None:
+        return None
+    out = np.empty(expected_size, np.uint8)
+    n = lib.tiatpu_packbits_decode(
         data, len(data), out.ctypes.data_as(ctypes.c_void_p), expected_size
     )
     if n < 0:

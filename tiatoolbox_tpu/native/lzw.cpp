@@ -108,3 +108,32 @@ int64_t tiatpu_lzw_decode(const uint8_t* src, uint64_t src_len,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// PackBits (TIFF §9) decode. Returns bytes written, or -1 on overflow.
+int64_t tiatpu_packbits_decode(const uint8_t* src, uint64_t src_len,
+                               uint8_t* dst, uint64_t dst_cap) {
+    uint64_t i = 0;
+    int64_t out = 0;
+    while (i < src_len) {
+        uint8_t header = src[i++];
+        if (header > 128) {  // repeat next byte 257-header times
+            if (i >= src_len) break;
+            int n = 257 - header;
+            if (out + n > static_cast<int64_t>(dst_cap)) return -1;
+            std::memset(dst + out, src[i++], n);
+            out += n;
+        } else if (header < 128) {  // literal run of header+1 bytes
+            int n = header + 1;
+            if (i + n > src_len) n = static_cast<int>(src_len - i);
+            if (out + n > static_cast<int64_t>(dst_cap)) return -1;
+            std::memcpy(dst + out, src + i, n);
+            i += n;
+            out += n;
+        }  // 128 = no-op
+    }
+    return out;
+}
+
+}  // extern "C"

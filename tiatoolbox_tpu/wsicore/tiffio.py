@@ -426,7 +426,12 @@ class TiffFile:
             elif comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
                 raw = zlib.decompress(data)
             elif comp == COMPRESSION_PACKBITS:
-                raw = _packbits_decode(data)
+                from tiatoolbox_tpu import native
+
+                expected = h * w * spp * np.dtype(page.dtype).itemsize
+                raw = native.packbits_decode(data, expected)
+                if raw is None:
+                    raw = _packbits_decode(data)
             elif comp == COMPRESSION_LZW:
                 from tiatoolbox_tpu import native
 
