@@ -216,4 +216,58 @@ class TestNativeLzw:
                 fh.seek(off)
                 stream = fh.read(size)
                 py = _packbits_decode(stream)
-                assert native.packbits_decode(stream, len(py) + 8) == py
+                # exact-fit capacity: the production call passes exactly
+                # the expected byte count, so the boundary must hold
+                assert native.packbits_decode(stream, len(py)) == py
+                assert native.packbits_decode(stream, len(py) - 1) is None
+
+    def test_packbits_reader_roundtrip(self, tmp_path, rgb_image) -> None:
+        path = tmp_path / "pb2.tiff"
+        Image.fromarray(rgb_image).save(path, compression="packbits")
+        out = TiffFile(path).read_region(0, (0, 0), (130, 97))
+        assert np.array_equal(out, rgb_image)
+
+    def test_stale_cached_library_ignored(self, tmp_path, monkeypatch) -> None:
+        """An old-version cached .so (even mtime-newer than the
+        sources) is never loaded: the library filename carries the
+        native version, so a fresh build lands beside it."""
+        import os as _os
+        import shutil
+        import subprocess
+        import time as _time
+
+        from tiatoolbox_tpu import native, rcParam
+
+        if native.get_library() is None:
+            pytest.skip("native toolchain unavailable")
+        home = tmp_path / "home"
+        (home / "native").mkdir(parents=True)
+        # a version-1-era cache under the OLD unversioned name, plus a
+        # decoy at a hypothetical old versioned name — neither has the
+        # new symbols
+        src = tmp_path / "stale.cpp"
+        src.write_text('extern "C" int tiatpu_version() { return 1; }\n')
+        for stale_name in ("libtiatpu_native.so", "libtiatpu_native_v1.so"):
+            subprocess.run(
+                ["g++", "-O0", "-shared", "-fPIC", str(src), "-o",
+                 str(home / "native" / stale_name)],
+                check=True,
+            )
+            future = _time.time() + 3600
+            _os.utime(home / "native" / stale_name, (future, future))
+        monkeypatch.setitem(rcParam, "TIATOOLBOX_HOME", str(home))
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_lib_checked", False)
+        try:
+            lib = native.get_library()
+            assert lib is not None  # fresh build under the new name
+            assert lib.tiatpu_version() == native._NATIVE_VERSION
+            assert native.packbits_decode(b"\x00A", 1) == b"A"
+            assert (
+                home / "native" /
+                f"libtiatpu_native_v{native._NATIVE_VERSION}.so"
+            ).exists()
+        finally:
+            monkeypatch.setattr(native, "_lib", None)
+            monkeypatch.setattr(native, "_lib_checked", False)
+            shutil.rmtree(home, ignore_errors=True)

@@ -1,11 +1,12 @@
 """Native (C++) host-plane components, loaded via ctypes.
 
-Currently: a multithreaded libjpeg batch tile decoder used by the TIFF
-reader's hot read path, and a priority-flood watershed used by the
-HoVerNet-family instance postprocessing. The shared library is
-compiled on first use with g++ and cached under
-``$TIATOOLBOX_TPU_HOME/native``; when the toolchain or libjpeg is
-unavailable the callers fall back to OpenCV / pure-Python paths.
+Currently: a multithreaded libjpeg batch tile decoder and TIFF
+LZW/PackBits decoders used by the TIFF reader's hot read path, and a
+priority-flood watershed used by the HoVerNet-family instance
+postprocessing. The shared library is compiled on first use with g++
+and cached under ``$TIATOOLBOX_TPU_HOME/native``; when the toolchain
+or libjpeg is unavailable the callers fall back to OpenCV /
+pure-Python paths.
 """
 
 from __future__ import annotations
@@ -21,6 +22,10 @@ from tiatoolbox_tpu import logger, rcParam
 
 _lib = None
 _lib_checked = False
+# must match tiatpu_version() in jpegdec.cpp; bump together on any
+# exported-symbol change so stale cached builds rebuild instead of
+# raising AttributeError at symbol-binding time
+_NATIVE_VERSION = 2
 
 
 def _source_paths() -> list[Path]:
@@ -64,7 +69,11 @@ def get_library():
         return None
     cache_dir = Path(rcParam["TIATOOLBOX_HOME"]) / "native"
     cache_dir.mkdir(parents=True, exist_ok=True)
-    lib_path = cache_dir / "libtiatpu_native.so"
+    # version-suffixed filename: caches from older checkouts (possibly
+    # mtime-newer after archive extraction, or a TIATOOLBOX_HOME shared
+    # between envs) are simply never loaded — dlopen caches by path, so
+    # rebuild-in-place could not replace an already-mapped stale library
+    lib_path = cache_dir / f"libtiatpu_native_v{_NATIVE_VERSION}.so"
     src_mtime = max(p.stat().st_mtime for p in _source_paths())
     if not lib_path.exists() or lib_path.stat().st_mtime < src_mtime:
         if not _build_library(lib_path):
@@ -74,7 +83,8 @@ def get_library():
     except OSError as exc:  # pragma: no cover
         logger.warning("Could not load native library: %s", exc)
         return None
-    if lib.tiatpu_version() != 1:  # pragma: no cover
+    if lib.tiatpu_version() != _NATIVE_VERSION:  # pragma: no cover
+        logger.warning("Native library version mismatch; using fallbacks.")
         return None
     lib.tiatpu_decode_jpeg_batch.argtypes = [
         ctypes.c_char_p,

@@ -108,6 +108,9 @@ int tiatpu_decode_jpeg_batch(const uint8_t* data, const uint64_t* offsets,
 }
 
 // Sanity probe for ctypes loading.
-int tiatpu_version() { return 1; }
+// bump on any exported-symbol change: the loader rebuilds stale
+// cached libraries whose version mismatches (mtime alone is not
+// reliable across archive extraction / shared TIATOOLBOX_HOME)
+int tiatpu_version() { return 2; }
 
 }  // extern "C"

@@ -425,20 +425,18 @@ class TiffFile:
                 raw = data
             elif comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
                 raw = zlib.decompress(data)
-            elif comp == COMPRESSION_PACKBITS:
+            elif comp in (COMPRESSION_PACKBITS, COMPRESSION_LZW):
                 from tiatoolbox_tpu import native
 
+                native_fn, python_fn = (
+                    (native.packbits_decode, _packbits_decode)
+                    if comp == COMPRESSION_PACKBITS
+                    else (native.lzw_decode, _lzw_decode)
+                )
                 expected = h * w * spp * np.dtype(page.dtype).itemsize
-                raw = native.packbits_decode(data, expected)
-                if raw is None:
-                    raw = _packbits_decode(data)
-            elif comp == COMPRESSION_LZW:
-                from tiatoolbox_tpu import native
-
-                expected = h * w * spp * np.dtype(page.dtype).itemsize
-                raw = native.lzw_decode(data, expected)
+                raw = native_fn(data, expected)
                 if raw is None:  # no toolchain / malformed: python path
-                    raw = _lzw_decode(data)
+                    raw = python_fn(data)
             else:
                 msg = f"Unsupported TIFF compression: {comp}"
                 raise ValueError(msg)
