@@ -355,6 +355,99 @@ def bench_stainnorm() -> dict:
     return {"mpix_per_sec": e2e, "kernel_mpix_per_sec": kernel}
 
 
+def bench_mask_extract() -> dict:
+    """Config 2: tissue masking + sliding-window patch extraction.
+
+    Host-side config (no device work): morphological Otsu mask from the
+    slide thumbnail, then a masked 224x224 grid read at 0.5 mpp. The
+    reference's own cv2/numpy pipeline (`tools/tissuemask.py`,
+    `tools/patchextraction.py`, imported from /root/reference with
+    heavy deps stubbed) runs on the SAME pixels for a same-host
+    baseline — fed the pre-decoded level-0 array, so its number
+    excludes slide decode while ours includes it.
+    """
+    import sys
+
+    from tiatoolbox_tpu.data.synth import make_synthetic_slide
+    from tiatoolbox_tpu.tools.patchextraction import get_patch_extractor
+    from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+    slide_path = f"/tmp/bench_mask_{os.getpid()}.tiff"
+    make_synthetic_slide(slide_path, size=(4096, 3072), mpp=0.5, objective_power=20)
+
+    def run_ours() -> tuple[int, float]:
+        wsi = WSIReader.open(slide_path)
+        mask = wsi.tissue_mask(method="morphological", resolution=8.0, units="mpp")
+        extractor = get_patch_extractor(
+            "slidingwindow",
+            input_img=wsi,
+            input_mask=mask,
+            patch_size=(224, 224),
+            stride=(224, 224),
+            resolution=0.5,
+            units="mpp",
+            min_mask_ratio=0.1,
+        )
+        n = 0
+        px = 0
+        for patch in extractor:
+            n += 1
+            px += patch.shape[0] * patch.shape[1]
+        return n, px
+
+    run_ours()  # warm: OS page cache + lazy imports
+    t0 = time.perf_counter()
+    n_ours, px = run_ours()
+    ours_pps = n_ours / (time.perf_counter() - t0)
+    ours_mpix = px / 1e6 * ours_pps / n_ours
+
+    # Reference pipeline on the same pixels (decode excluded for it).
+    ref_pps = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        import ref_compat
+
+        ref_compat.install()
+        from tiatoolbox.tools.patchextraction import (
+            get_patch_extractor as ref_get_patch_extractor,
+        )
+        from tiatoolbox.tools.tissuemask import (
+            MorphologicalMasker as RefMorphologicalMasker,
+        )
+
+        wsi = WSIReader.open(slide_path)
+        img = wsi.read_rect((0, 0), (4096, 3072), resolution=0, units="level")
+        thumb = wsi.slide_thumbnail(resolution=8.0, units="mpp")
+
+        def run_ref() -> int:
+            mask = RefMorphologicalMasker(mpp=8.0).fit_transform([thumb])[0]
+            extractor = ref_get_patch_extractor(
+                "slidingwindow",
+                input_img=img,
+                input_mask=mask.astype(bool),
+                patch_size=(224, 224),
+                stride=(224, 224),
+                min_mask_ratio=0.1,
+            )
+            return sum(1 for _ in extractor)
+
+        run_ref()
+        t0 = time.perf_counter()
+        n_ref = run_ref()
+        ref_pps = n_ref / (time.perf_counter() - t0)
+    except Exception:  # noqa: BLE001 - baseline is best-effort
+        import traceback
+
+        traceback.print_exc()
+    return {
+        "patches_per_sec": ours_pps,
+        "mpix_per_sec": ours_mpix,
+        "n_patches": n_ours,
+        "ref_patches_per_sec": ref_pps,
+        "vs_ref": (ours_pps / ref_pps) if ref_pps else None,
+    }
+
+
 def bench_semantic_segmentor() -> dict:
     """Config 4: whole-slide U-Net probability-map merge, end to end."""
     import jax
@@ -601,6 +694,10 @@ def main() -> None:
         "stainnorm", bench_stainnorm,
         {"mpix_per_sec": None, "kernel_mpix_per_sec": None}, 90,
     )
+    me = section(
+        "mask_extract", bench_mask_extract,
+        {"patches_per_sec": None, "mpix_per_sec": None, "vs_ref": None}, 60,
+    )
     ref = section(
         "torch_reference", lambda: bench_torch_reference(pp["slide_path"]),
         {"torch_cpu_forward_pps": None, "torch_cpu_e2e_pps": None}, 45,
@@ -646,6 +743,10 @@ def main() -> None:
             if link_sus and sn["mpix_per_sec"]
             else None
         ),
+        "mask_extract_patches_per_sec": _r(me["patches_per_sec"], 1),
+        "mask_extract_mpix_per_sec": _r(me["mpix_per_sec"]),
+        "mask_extract_ref_patches_per_sec": _r(me.get("ref_patches_per_sec"), 1),
+        "mask_extract_vs_ref": _r(me["vs_ref"]),
         "semantic_seg_e2e_mpix_per_sec": _r(seg["mpix_per_sec"]),
         "semantic_seg_device_mpix_per_sec": _r(seg.get("device_mpix_per_sec")),
         "semantic_seg_stages": seg.get("stages"),

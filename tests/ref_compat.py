@@ -139,3 +139,21 @@ def _install_real_shims() -> None:
         return clipped * (out_hi - out_lo) + out_lo
 
     exposure.rescale_intensity = rescale_intensity
+
+    filters = importlib.import_module("skimage.filters")
+
+    def threshold_otsu(image, nbins=256):
+        # Faithful re-statement of skimage's Otsu: maximise inter-class
+        # variance over a 256-bin histogram of the input values.
+        values = np.asarray(image).ravel()
+        counts, bin_edges = np.histogram(values, bins=nbins)
+        centers = (bin_edges[:-1] + bin_edges[1:]) / 2.0
+        counts = counts.astype(np.float64)
+        w1 = np.cumsum(counts)
+        w2 = np.cumsum(counts[::-1])[::-1]
+        m1 = np.cumsum(counts * centers) / np.maximum(w1, 1e-12)
+        m2 = (np.cumsum((counts * centers)[::-1]) / np.maximum(w2[::-1], 1e-12))[::-1]
+        var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+        return centers[:-1][np.argmax(var12)]
+
+    filters.threshold_otsu = threshold_otsu

@@ -146,8 +146,9 @@ class PatchExtractor(PatchExtractorABC):
             raise TypeError(msg)
         if item >= self.locations_df.shape[0]:
             raise IndexError
-        x = self.locations_df["x"][item]
-        y = self.locations_df["y"][item]
+        df = self.locations_df
+        x = df.iat[item, df.columns.get_loc("x")]
+        y = df.iat[item, df.columns.get_loc("y")]
         return self.wsi.read_rect(
             location=(int(x), int(y)),
             size=self.patch_size,

@@ -235,6 +235,34 @@ def sub_pixel_read(  # noqa: C901, PLR0912, PLR0915
         raise ValueError(msg)
 
     normalized_padding = normalize_padding_size(padding)
+
+    # Fast path: an integer-aligned, unscaled, unpadded, fully-in-image
+    # read is a plain slice. The general path below reduces to exactly
+    # this (margin-expand → identity-resize → margin-trim), so the
+    # result is bit-identical; this skips ~3 ms/patch of bounds algebra
+    # and identity cv2.resize on the engines' aligned grid reads.
+    if read_func is None and np.all(np.asarray(stride) == 1):
+        b = np.asarray(bounds, dtype=np.float64)
+        _, b_size = bounds2locsize(b)
+        img_w, img_h = image.shape[1], image.shape[0]
+        out_matches = (
+            output_size is None
+            or interpolation == "none"  # general path never resizes then
+            or np.array_equal(np.asarray(output_size), b_size)
+        )
+        if (
+            out_matches
+            and np.all(b == np.floor(b))
+            and np.all(b_size > 0)
+            and np.all(normalized_padding == 0)
+            and b[0] >= 0
+            and b[1] >= 0
+            and b[2] <= img_w
+            and b[3] <= img_h
+        ):
+            x0, y0, x1, y1 = b.astype(int)
+            return np.array(image[y0:y1, x0:x1])
+
     bounds, fliplr, flipud = make_bounds_size_positive(bounds)
     if fliplr or flipud:
         logger.warning("Bounds have a negative size, output will be flipped.")

@@ -70,8 +70,13 @@ def background_composite(
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] == 3:
-        rgb = img.astype(np.float32)
-        a = np.full(img.shape[:2] + (1,), 255, np.float32)
+        # Alpha-free input: the weight is 1 everywhere, so the float
+        # composite below reduces to the identity — skip it (uint8
+        # values are exact in float32, so this is bit-identical).
+        if alpha:
+            out_a = np.full(img.shape[:2] + (1,), 255, np.uint8)
+            return np.concatenate([img, out_a], axis=-1)
+        return img.copy() if img is image else img
     else:
         rgb = img[..., :3].astype(np.float32)
         a = img[..., 3:4].astype(np.float32)
