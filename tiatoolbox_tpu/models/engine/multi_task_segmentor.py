@@ -69,6 +69,7 @@ class MultiTaskSegmentor(SemanticSegmentor):
     # -- inference + merge -----------------------------------------------------------
 
     def infer_wsi(self, dataloader: BatchLoader) -> dict:
+        self._pending_fetch = None  # drop any stale async-drain handle
         dataset = dataloader.dataset
         ioconfig = self._ioconfig
         out_res = (
@@ -290,17 +291,22 @@ class MultiTaskSegmentor(SemanticSegmentor):
         timer.add("dispatch-wall", _time.perf_counter() - t_loop)
 
         h, w = int(canvas_wh[1]), int(canvas_wh[0])
-        with timer.stage("fetch", items=h * w * n_channels):
-            stacked = self._fetch_canvas(canvas, h, w)
+        # Async drain: post_process_wsi's tile loop gates on the row
+        # watermark, so watershed/instance extraction (host CPU) runs
+        # WHILE the canvas crosses the link instead of after it.
+        from tiatoolbox_tpu.parallel.pipeline import LazyRowsView
+
+        buf, watermark = self._fetch_canvas_async(canvas, h, w)
         head_maps = []
         c0 = 0
         for c in head_channels:
-            head_maps.append(stacked[..., c0 : c0 + c])
+            head_maps.append(LazyRowsView(buf, watermark, slice(c0, c0 + c)))
             c0 += c
         summary = timer.summary()
         summary["path"] = path_name
         summary["wire_pixels"] = wire_pixels
         self.last_stage_summary = summary
+        self._pending_fetch = (watermark, h * w * n_channels)
         return {"head_maps": head_maps, "canvas_wh": canvas_wh}
 
     # -- instance post-processing ---------------------------------------------------------
@@ -342,6 +348,17 @@ class MultiTaskSegmentor(SemanticSegmentor):
                     semantic[task["task_type"]] = np.asarray(task["predictions"])
         else:
             instances, semantic = self._process_tile_mode(head_maps, canvas_wh)
+        pending = getattr(self, "_pending_fetch", None)
+        if pending is not None:
+            watermark, items = pending
+            self._pending_fetch = None
+            watermark.wait_all()  # postproc consumed every row already
+            if self.last_stage_summary is not None:
+                self.last_stage_summary["fetch"] = {
+                    "seconds": round(watermark.drain_seconds or 0.0, 4),
+                    "items": items,
+                    "overlapped_with_postproc": True,
+                }
         if self.last_stage_summary is not None:
             self.last_stage_summary["instance-postproc"] = {
                 "seconds": round(_time.perf_counter() - t0, 4)

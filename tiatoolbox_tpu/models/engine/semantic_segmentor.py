@@ -442,6 +442,19 @@ class SemanticSegmentor(EngineABC):
             return fetch_chunked(dev, dtype=np.float32)
         return fetch_chunked(canvas.normalized()[:h, :w])
 
+    def _fetch_canvas_async(self, canvas, h: int, w: int):
+        """Background-drain variant of ``_fetch_canvas``: returns the
+        (still-filling) host buffer plus its row watermark so callers
+        can overlap host post-processing with the device→host drain."""
+        from tiatoolbox_tpu.parallel.pipeline import fetch_chunked_async
+
+        if str(self.canvas_wire_dtype) in ("float16", "f16", "fp16"):
+            import jax.numpy as jnp
+
+            dev = canvas.normalized(jnp.float16)[:h, :w]
+            return fetch_chunked_async(dev, dtype=np.float32)
+        return fetch_chunked_async(canvas.normalized()[:h, :w])
+
     def _infer_wsi_device_canvas(
         self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale,
         probe=None,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
@@ -202,3 +203,139 @@ def fetch_chunked(
     with ThreadPoolExecutor(min(n_threads, len(slices))) as pool:
         list(pool.map(copy, range(len(slices))))
     return out
+
+
+class RowWatermark:
+    """Completion tracker for an asynchronously-filling row-major buffer.
+
+    Chunks finish out of order; ``rows_ready`` is the contiguous prefix
+    of rows that have landed. ``wait_rows(y)`` blocks until rows [0, y)
+    are present (consumers above the watermark proceed immediately).
+    """
+
+    def __init__(self, slices: list, n_rows: int) -> None:
+        self._cond = threading.Condition()
+        self._slices = slices
+        self._done = [False] * len(slices)
+        self._prefix = 0
+        self._n_rows = n_rows
+        self.rows_ready = 0
+        self.drain_seconds: float | None = None
+        self.error: BaseException | None = None
+        self._t0 = time.perf_counter()
+
+    def _mark(self, idx: int) -> None:
+        with self._cond:
+            self._done[idx] = True
+            while self._prefix < len(self._done) and self._done[self._prefix]:
+                self._prefix += 1
+            if self._prefix:
+                self.rows_ready = self._slices[self._prefix - 1].stop
+            if self._prefix == len(self._done):
+                self.drain_seconds = time.perf_counter() - self._t0
+            self._cond.notify_all()
+
+    def _fail(self, exc: BaseException) -> None:
+        with self._cond:
+            self.error = exc
+            self._cond.notify_all()
+
+    def wait_rows(self, y: int) -> None:
+        target = min(int(y), self._n_rows)
+        with self._cond:
+            while self.rows_ready < target and self.error is None:
+                self._cond.wait()
+            if self.error is not None:
+                raise self.error
+
+    def wait_all(self) -> None:
+        self.wait_rows(self._n_rows)
+
+
+def fetch_chunked_async(
+    device_array,
+    n_threads: int = 8,
+    n_chunks: int = 16,
+    dtype=None,
+) -> tuple[np.ndarray, RowWatermark]:
+    """Start a ``fetch_chunked``-style drain in the background.
+
+    Returns the (still-filling) host buffer and a :class:`RowWatermark`;
+    row-range consumers gate on ``wait_rows`` so host post-processing
+    overlaps the device→host drain instead of serializing behind it.
+    """
+    import math
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = int(device_array.shape[0])
+    n_chunks = max(1, min(n_chunks, n))
+    step = math.ceil(n / n_chunks)
+    out = np.empty(
+        device_array.shape,
+        dtype if dtype is not None else np.dtype(str(device_array.dtype)),
+    )
+    slices = [slice(i, min(i + step, n)) for i in range(0, n, step)]
+    parts = [device_array[s] for s in slices]
+    watermark = RowWatermark(slices, n)
+
+    def copy(idx: int) -> None:
+        try:
+            out[slices[idx]] = np.asarray(parts[idx])
+        except BaseException as exc:  # noqa: BLE001 - surfaced to waiters
+            watermark._fail(exc)
+            return
+        watermark._mark(idx)
+
+    pool = ThreadPoolExecutor(min(n_threads, len(slices)))
+    for i in range(len(slices)):
+        pool.submit(copy, i)
+    pool.shutdown(wait=False)
+    return out, watermark
+
+
+class LazyRowsView:
+    """Read-only channel-slice view over an async-filling buffer.
+
+    Row indexing blocks on the watermark until the rows are present, so
+    tile post-processing can start on the top of the canvas while the
+    bottom is still in flight. Supports the access patterns the engines
+    use: ``view[y0:y1, x0:x1]`` and ``np.asarray(view)``.
+    """
+
+    def __init__(self, buf: np.ndarray, watermark: RowWatermark, channels: slice) -> None:
+        self._buf = buf
+        self._wm = watermark
+        self._ch = channels
+
+    @property
+    def shape(self) -> tuple:
+        n_ch = len(range(*self._ch.indices(self._buf.shape[-1])))
+        return (*self._buf.shape[:-1], n_ch)
+
+    @property
+    def dtype(self):
+        return self._buf.dtype
+
+    @property
+    def ndim(self) -> int:
+        return self._buf.ndim
+
+    def __len__(self) -> int:
+        return self._buf.shape[0]
+
+    def __getitem__(self, key):
+        rows = key[0] if isinstance(key, tuple) else key
+        n = self._buf.shape[0]
+        if isinstance(rows, slice):
+            stop = rows.indices(n)[1]
+        elif isinstance(rows, (int, np.integer)):
+            stop = (int(rows) % n) + 1
+        else:  # fancy indexing: need everything
+            stop = n
+        self._wm.wait_rows(stop)
+        return self._buf[..., self._ch][key]
+
+    def __array__(self, dtype=None, copy=None):  # noqa: ARG002 - numpy protocol
+        self._wm.wait_all()
+        arr = self._buf[..., self._ch]
+        return arr.astype(dtype) if dtype is not None else arr
