@@ -419,3 +419,64 @@ class TestControlAPI:
             "/zoomify/TileGroup0/0-0-0.jpg"
         ) as resp:
             assert resp.status == 200
+
+    def test_healthcheck_and_sessions(self, api) -> None:
+        status, out = self._call(api["port"], "/tileserver/healthcheck", "GET")
+        assert status == 200
+        assert out["status"] == "OK"
+        _, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        sid = out["session_id"]
+        self._call(
+            api["port"], "/tileserver/slide", "PUT",
+            session_id=sid, slide_path=str(api["slide"]),
+        )
+        _, out = self._call(api["port"], "/tileserver/sessions", "GET")
+        assert out["sessions"][sid] == str(api["slide"])
+
+    def test_secondary_cmap_roundtrip(self, api) -> None:
+        _, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        sid = out["session_id"]
+        _, out = self._call(
+            api["port"], "/tileserver/secondary_cmap", "GET", session_id=sid
+        )
+        assert out["secondary_cmap"] is None
+        _, out = self._call(
+            api["port"], "/tileserver/secondary_cmap", "PUT",
+            session_id=sid, type_id='"tumour"', prop="prob", cmap="viridis",
+        )
+        assert out["secondary_cmap"] == "done"
+        _, out = self._call(
+            api["port"], "/tileserver/secondary_cmap", "GET", session_id=sid
+        )
+        assert out["secondary_cmap"] == {
+            "type": "tumour", "score_prop": "prob", "cmap": "viridis",
+        }
+        renderer = api["server"].sessions[sid]["renderer"]
+        # tumour annotations now color via viridis(prob); stroma keeps primary
+        tumour = renderer.get_color({"type": "tumour", "prob": 1.0})
+        import matplotlib
+
+        expected = tuple(int(255 * c) for c in matplotlib.colormaps["viridis"](1.0))
+        assert tumour == expected
+        stroma = renderer.get_color({"type": "stroma", "prob": 1.0})
+        assert stroma != expected
+
+    def test_shutdown_stops_server(self, slide_path) -> None:
+        import time as _time
+        import urllib.error
+
+        server = TileServer(layers={"slide": str(slide_path)})
+        httpd, port = server.run_in_thread()
+        status, out = self._call(port, "/tileserver/shutdown", "POST")
+        assert status == 200
+        assert out["servers"] == 1
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            try:
+                self._call(port, "/tileserver/healthcheck", "GET")
+                _time.sleep(0.05)
+            except (urllib.error.URLError, ConnectionError, OSError):
+                break
+        else:  # pragma: no cover - diagnostics
+            pytest.fail("server still answering after shutdown")
+        httpd.server_close()

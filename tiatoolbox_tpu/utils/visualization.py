@@ -179,8 +179,10 @@ class AnnotationRenderer:
         zoomed_out_strat: str = "decimate",
         *,
         blur_radius: int = 0,
+        secondary_cmap: dict | None = None,
     ) -> None:
         self.score_prop = score_prop
+        self.secondary_cmap = secondary_cmap
         self.where = where
         self.score_fn = score_fn or (lambda x: x)
         self.max_scale = max_scale
@@ -195,7 +197,24 @@ class AnnotationRenderer:
         self.mapper = mapper
 
     def get_color(self, properties: dict) -> tuple[int, int, int, int]:
-        """RGBA color for an annotation from its properties."""
+        """RGBA color for an annotation from its properties.
+
+        When ``secondary_cmap`` is set (``{"type": t, "score_prop": p,
+        "mapper": m}``), annotations whose ``type`` equals ``t`` are
+        colored by property ``p`` through mapper ``m`` instead of the
+        primary mapper (reference utils/visualization.py:727-845).
+        """
+        sec = self.secondary_cmap
+        if (
+            sec is not None
+            and properties.get("type") == sec.get("type")
+            and sec.get("score_prop") in properties
+        ):
+            rgba = self._apply_mapper(
+                sec.get("mapper"), properties[sec["score_prop"]]
+            )
+            if rgba is not None:
+                return rgba
         value = properties.get(self.score_prop) if self.score_prop else None
         if callable(self.mapper):
             rgba = self.mapper(value)
@@ -229,6 +248,22 @@ class AnnotationRenderer:
                 255,
             )
         return self._categorical_colors[key]
+
+    @staticmethod
+    def _apply_mapper(mapper, value) -> tuple[int, int, int, int] | None:
+        """Apply a callable/dict/matplotlib-name mapper to a raw value."""
+        if callable(mapper):
+            rgba = mapper(value)
+            return tuple(int(255 * c) for c in rgba)
+        if isinstance(mapper, dict):
+            rgba = mapper.get(value)
+            return None if rgba is None else tuple(int(255 * c) for c in rgba)
+        if isinstance(mapper, str) and isinstance(value, (int, float)):
+            import matplotlib
+
+            rgba = matplotlib.colormaps[mapper](float(value))
+            return tuple(int(255 * c) for c in rgba)
+        return None
 
     def render_annotations(
         self,

@@ -76,6 +76,7 @@ class TileServer:
                 "renderer": self.renderer,
             }
         }
+        self._servers: list = []  # live WSGI servers, for /tileserver/shutdown
         for name, layer in (layers or {}).items():
             self.add_layer(name, layer)
 
@@ -219,6 +220,10 @@ class TileServer:
             "segment_on_box": self._ctl_segment_on_box,
             "prompt_segment": self._ctl_prompt_segment,
             "graph": self._ctl_graph,
+            "secondary_cmap": self._ctl_secondary_cmap,
+            "sessions": self._ctl_sessions,
+            "healthcheck": self._ctl_healthcheck,
+            "shutdown": self._ctl_shutdown,
         }.get(parts[0])
         if handler is None:
             return self._respond_error(start_response, "404 Not Found", "not found")
@@ -725,6 +730,58 @@ class TileServer:
         post_proc = getattr(reader, "post_proc", None)
         return post_proc if isinstance(post_proc, MultichannelToRGB) else None
 
+    def _ctl_secondary_cmap(self, method, state, extra, params):  # noqa: ARG002
+        """Type-specific colour override (reference tileserver.py change_secondary_cmap)."""
+        renderer = state["renderer"]
+        if method == "GET":
+            sec = getattr(renderer, "secondary_cmap", None)
+            if sec is None:
+                return {"secondary_cmap": None}
+            mapper = sec.get("mapper")
+            return {
+                "secondary_cmap": {
+                    "type": sec.get("type"),
+                    "score_prop": sec.get("score_prop"),
+                    "cmap": mapper if isinstance(mapper, str) else "custom",
+                }
+            }
+        type_id = params["type_id"]
+        try:
+            type_id = json.loads(type_id)
+        except (ValueError, TypeError):
+            pass
+        cmap = params["cmap"]
+        mapper = (
+            {key: tuple(value) for key, value in json.loads(cmap).items()}
+            if cmap.startswith("{")
+            else cmap
+        )
+        renderer.secondary_cmap = {
+            "type": type_id,
+            "score_prop": params["prop"],
+            "mapper": mapper,
+        }
+        return {"secondary_cmap": "done"}
+
+    def _ctl_sessions(self, method, state, extra, params):  # noqa: ARG002
+        """Map of session id -> slide path (reference tileserver.py sessions)."""
+        out = {}
+        for sid, sess in self.sessions.items():
+            reader = sess["layers"].get("slide")
+            path = getattr(reader, "input_path", None) if reader else None
+            out[sid] = str(path) if path else ""
+        return {"sessions": out}
+
+    def _ctl_healthcheck(self, method, state, extra, params):  # noqa: ARG002
+        return {"status": "OK"}
+
+    def _ctl_shutdown(self, method, state, extra, params):  # noqa: ARG002
+        """Stop every server loop started via run()/run_in_thread()."""
+        servers = list(self._servers)
+        for server in servers:
+            threading.Thread(target=server.shutdown, daemon=True).start()
+        return {"status": "shutting down", "servers": len(servers)}
+
     def _ctl_channels(self, method, state, extra, params):  # noqa: ARG002
         post_proc = self._multichannel_post_proc(state)
         if post_proc is None:
@@ -851,13 +908,18 @@ class TileServer:
     # -- running -------------------------------------------------------------------
 
     def run(self, host: str = "127.0.0.1", port: int = 5000) -> None:
-        """Serve forever (blocking)."""
+        """Serve forever (blocking; /tileserver/shutdown stops the loop)."""
         server = make_server(host, port, self)
-        server.serve_forever()
+        self._servers.append(server)
+        try:
+            server.serve_forever()
+        finally:
+            self._servers.remove(server)
 
     def run_in_thread(self, host: str = "127.0.0.1", port: int = 0):
         """Start serving on a daemon thread; returns (server, port)."""
         server = make_server(host, port, self, server_class=WSGIServer)
+        self._servers.append(server)
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
         return server, server.server_address[1]
