@@ -271,7 +271,7 @@ class TestControlAPI:
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}{path}", data=data, method=method
         )
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, timeout=10) as resp:
             return resp.status, json.loads(resp.read())
 
     def test_session_lifecycle(self, api) -> None:

@@ -776,10 +776,24 @@ class TileServer:
         return {"status": "OK"}
 
     def _ctl_shutdown(self, method, state, extra, params):  # noqa: ARG002
-        """Stop every server loop started via run()/run_in_thread()."""
+        """Stop every server loop started via run()/run_in_thread().
+
+        ``shutdown()`` only exits the ``serve_forever`` loop; the listening
+        socket would keep accepting connections into the kernel backlog
+        (where clients then hang), so the stopper thread also closes it.
+        """
         servers = list(self._servers)
+
+        def _stop(server) -> None:
+            server.shutdown()  # blocks until serve_forever has exited
+            server.server_close()
+            try:
+                self._servers.remove(server)
+            except ValueError:  # pragma: no cover - already removed by run()
+                pass
+
         for server in servers:
-            threading.Thread(target=server.shutdown, daemon=True).start()
+            threading.Thread(target=_stop, args=(server,), daemon=True).start()
         return {"status": "shutting down", "servers": len(servers)}
 
     def _ctl_channels(self, method, state, extra, params):  # noqa: ARG002
