@@ -461,6 +461,61 @@ class TestControlAPI:
         stroma = renderer.get_color({"type": "stroma", "prob": 1.0})
         assert stroma != expected
 
+    def test_registration_overlay_npy_affine(self, api, tmp_path) -> None:
+        """A .npy affine overlay re-reads the slide through the transform.
+
+        Mirrors reference ``tileserver.py:512-592`` (.npy/.mha overlay →
+        TransformedWSIReader on the session's slide layer).
+        """
+        from tiatoolbox_tpu.wsicore.store_reader import TransformedWSIReader
+        from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+        affine = np.array([[1.0, 0.0, 64.0], [0.0, 1.0, 32.0], [0.0, 0.0, 1.0]])
+        tf_path = tmp_path / "reg.npy"
+        np.save(tf_path, affine)
+        _, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        sid = out["session_id"]
+        self._call(
+            api["port"], "/tileserver/slide", "PUT",
+            session_id=sid, slide_path=str(api["slide"]),
+        )
+        _, out = self._call(
+            api["port"], "/tileserver/overlay", "PUT",
+            session_id=sid, overlay_path=str(tf_path),
+        )
+        assert out["layer"] == "slide"
+        server_reader = api["server"].sessions[sid]["layers"]["slide"]
+        assert isinstance(server_reader, TransformedWSIReader)
+        expected = TransformedWSIReader(
+            WSIReader.open(api["slide"]), affine
+        ).read_rect((100, 100), (64, 64), resolution=0, units="level")
+        got = server_reader.read_rect(
+            (100, 100), (64, 64), resolution=0, units="level"
+        )
+        np.testing.assert_array_equal(got, expected)
+
+    def test_registration_overlay_mha_field(self, api, tmp_path) -> None:
+        """A SimpleITK-style .mha displacement field loads as an overlay."""
+        from tiatoolbox_tpu.utils.metaimage import write_mha
+        from tiatoolbox_tpu.wsicore.store_reader import TransformedWSIReader
+
+        field = np.zeros((96, 128, 2), dtype=np.float64)  # identity warp
+        tf_path = write_mha(tmp_path / "field.mha", field, compressed=True)
+        _, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        sid = out["session_id"]
+        self._call(
+            api["port"], "/tileserver/slide", "PUT",
+            session_id=sid, slide_path=str(api["slide"]),
+        )
+        _, out = self._call(
+            api["port"], "/tileserver/overlay", "PUT",
+            session_id=sid, overlay_path=str(tf_path),
+        )
+        assert out["layer"] == "slide"
+        assert isinstance(
+            api["server"].sessions[sid]["layers"]["slide"], TransformedWSIReader
+        )
+
     def test_shutdown_stops_server(self, slide_path) -> None:
         import time as _time
         import urllib.error

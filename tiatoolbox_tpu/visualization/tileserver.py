@@ -297,6 +297,8 @@ class TileServer:
     def _ctl_overlay(self, method, state, extra, params):  # noqa: ARG002
         overlay_path = Path(params["overlay_path"])
         sid = next(k for k, v in self.sessions.items() if v is state)
+        if overlay_path.suffix.lower() in (".npy", ".mha"):
+            return self._registration_overlay(state, overlay_path)
         if overlay_path.suffix.lower() == ".dat":
             from tiatoolbox_tpu.utils.misc import store_from_dat
 
@@ -318,6 +320,36 @@ class TileServer:
         name = f"layer{n}"
         self.add_layer(name, overlay_path, session_id=sid)
         return {"layer": name}
+
+    def _registration_overlay(self, state, overlay_path: Path) -> dict:
+        """Re-read the slide through a registration transform file.
+
+        Mirrors the reference's ``_handle_registration_overlay``
+        (reference ``visualization/tileserver.py:544-592``): a ``.npy``
+        (affine or displacement field) or SimpleITK-written ``.mha``
+        displacement field wraps the session's slide in a
+        :class:`TransformedWSIReader`. If another session holds a slide
+        (split-view), that slide's frame is the fixed frame.
+        """
+        from tiatoolbox_tpu.tools.pyramid import ZoomifyGenerator
+        from tiatoolbox_tpu.utils.metaimage import load_transform
+        from tiatoolbox_tpu.wsicore.store_reader import TransformedWSIReader
+
+        transform = load_transform(overlay_path)
+        moving = state["layers"].get("slide")
+        if moving is None:
+            msg = "Load a slide before a registration transform."
+            raise ValueError(msg)
+        fixed_info = None
+        for sess in self.sessions.values():
+            if sess is not state and sess["layers"].get("slide") is not None:
+                fixed_info = sess["layers"]["slide"].info
+                break
+        reader = TransformedWSIReader(moving, transform, fixed_info=fixed_info)
+        state["layers"]["slide"] = reader
+        state["pyramids"]["slide"] = ZoomifyGenerator(reader)
+        state["base_info"] = reader.info
+        return {"layer": "slide"}
 
     def _ctl_clear_overlays(self, method, state, extra, params):  # noqa: ARG002
         removed = [

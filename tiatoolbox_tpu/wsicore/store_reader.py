@@ -139,7 +139,10 @@ class TransformedWSIReader(WSIReader):
         self._m_info = fixed_info if fixed_info is not None else reader.info
 
     def _info(self) -> WSIMeta:
-        return self.reader.info
+        # Reads are addressed in the FIXED frame (the transform maps
+        # fixed coords onto the moving slide), so the reported geometry
+        # is the fixed frame's. Defaults to the moving slide's info.
+        return self._m_info
 
     @staticmethod
     def transform_points(points: np.ndarray, transform: np.ndarray) -> np.ndarray:
