@@ -74,6 +74,42 @@ class TestMhaRoundtrip:
         with pytest.raises(ValueError, match="Truncated MetaImage header"):
             read_mha(path)
 
+    def test_corrupt_compressed_payload_raises_valueerror(self, tmp_path) -> None:
+        field = np.ones((8, 8, 2), dtype=np.float32)
+        path = write_mha(tmp_path / "c.mha", field, compressed=True)
+        data = path.read_bytes()
+        # flip bytes inside the zlib stream (past the header)
+        corrupt = bytearray(data)
+        corrupt[-4:] = b"\x00\x00\x00\x00"
+        corrupt[-12:-8] = b"\xff\xff\xff\xff"
+        path.write_bytes(bytes(corrupt))
+        with pytest.raises(ValueError, match="corrupt|truncated"):
+            read_mha(path)
+
+    def test_truncated_compressed_payload_raises_valueerror(self, tmp_path) -> None:
+        field = np.arange(256, dtype=np.float64).reshape(8, 16, 2)
+        path = write_mha(tmp_path / "tc.mha", field, compressed=True)
+        data = path.read_bytes()
+        path.write_bytes(data[:-8])
+        with pytest.raises(ValueError, match="corrupt|truncated"):
+            read_mha(path)
+
+    def test_3d_scalar_small_last_dim_ambiguous(self, tmp_path) -> None:
+        # (D, H, W=4) volumes are ambiguous: require explicit vector arg
+        arr = np.zeros((5, 6, 4), dtype=np.float32)
+        path = write_mha(tmp_path / "s.mha", arr, vector=False)
+        np.testing.assert_array_equal(read_mha(path), arr)
+        # 4-D with small trailing axis is ambiguous without vector=
+        with pytest.raises(ValueError, match="[Aa]mbiguous"):
+            write_mha(tmp_path / "amb.mha", np.zeros((2, 5, 6, 4), np.float32))
+
+    def test_displacement_field_auto_vector(self, tmp_path) -> None:
+        # (H, W, 2) auto-detects as a 2-D vector image
+        field = np.zeros((6, 7, 2), dtype=np.float64)
+        path = write_mha(tmp_path / "d.mha", field)
+        out = read_mha(path)
+        assert out.shape == (6, 7, 2)
+
     def test_external_datafile_rejected(self, tmp_path) -> None:
         path = tmp_path / "x.mha"
         path.write_bytes(

@@ -154,6 +154,30 @@ class TestExtendedReaders:
             region.astype(float) - img[40:72, 45:77].astype(float)
         ).mean() < 2
 
+    def test_transformed_reader_field_mismatched_fixed_frame(self) -> None:
+        """Fixed frame larger than the moving slide: the field scales to
+        the max(moving, fixed) frame and the moving slide is centered via
+        (fixed - moving)//2 pads (reference ``wsireader.py:6934-6948``).
+        """
+        from tiatoolbox_tpu.wsicore.store_reader import TransformedWSIReader
+        from tiatoolbox_tpu.wsicore.wsimeta import WSIMeta
+
+        img = synthetic_he_patch((128, 128), seed=2)
+        fixed_info = WSIMeta(
+            slide_dimensions=(168, 148),  # pads = (20, 10)
+            level_dimensions=[(168, 148)],
+            level_downsamples=[1.0],
+            axes="YXS",
+        )
+        field = np.zeros((148, 168, 2), np.float32)  # identity warp
+        reader = TransformedWSIReader(img, field, fixed_info=fixed_info)
+        assert reader.info.slide_dimensions == (168, 148)
+        # fixed-frame coords (20+x, 10+y) hit moving-frame pixel (x, y)
+        region = reader.read_rect((20 + 30, 10 + 40), (32, 32))
+        assert np.abs(
+            region.astype(float) - img[40:72, 30:62].astype(float)
+        ).mean() < 2
+
 
 class TestOmeTiff:
     def test_heatmap_roundtrip(self, tmp_path) -> None:

@@ -494,6 +494,45 @@ class TestControlAPI:
         )
         np.testing.assert_array_equal(got, expected)
 
+    def test_registration_overlay_replaces_previous_transform(
+        self, api, tmp_path
+    ) -> None:
+        """A second transform upload REPLACES the first (no composition).
+
+        The reference rebuilds from the original slide path each time
+        (``tileserver.py:544-592``); composing transforms would silently
+        double-shift when a user refines a registration.
+        """
+        from tiatoolbox_tpu.wsicore.store_reader import TransformedWSIReader
+        from tiatoolbox_tpu.wsicore.wsireader import WSIReader
+
+        affine = np.array([[1.0, 0.0, 64.0], [0.0, 1.0, 32.0], [0.0, 0.0, 1.0]])
+        tf_path = tmp_path / "reg.npy"
+        np.save(tf_path, affine)
+        _, out = self._call(api["port"], "/tileserver/session_id", "PUT")
+        sid = out["session_id"]
+        self._call(
+            api["port"], "/tileserver/slide", "PUT",
+            session_id=sid, slide_path=str(api["slide"]),
+        )
+        for _ in range(2):  # upload the SAME transform twice
+            _, out = self._call(
+                api["port"], "/tileserver/overlay", "PUT",
+                session_id=sid, overlay_path=str(tf_path),
+            )
+            assert out["layer"] == "slide"
+        server_reader = api["server"].sessions[sid]["layers"]["slide"]
+        assert isinstance(server_reader, TransformedWSIReader)
+        # the wrapped reader is the BASE slide, not another transform
+        assert not isinstance(server_reader.reader, TransformedWSIReader)
+        expected = TransformedWSIReader(
+            WSIReader.open(api["slide"]), affine
+        ).read_rect((100, 100), (64, 64), resolution=0, units="level")
+        got = server_reader.read_rect(
+            (100, 100), (64, 64), resolution=0, units="level"
+        )
+        np.testing.assert_array_equal(got, expected)
+
     def test_registration_overlay_mha_field(self, api, tmp_path) -> None:
         """A SimpleITK-style .mha displacement field loads as an overlay."""
         from tiatoolbox_tpu.utils.metaimage import write_mha

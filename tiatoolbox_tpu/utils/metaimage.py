@@ -82,7 +82,18 @@ def read_mha(path: str | Path) -> np.ndarray:
         raise ValueError(msg)
     payload = raw[offset:]
     if fields.get("CompressedData", "False").lower() == "true":
-        payload = zlib.decompress(payload)
+        declared = fields.get("CompressedDataSize")
+        if declared is not None and len(payload) < int(declared):
+            msg = (
+                f"MetaImage data corrupt/truncated: CompressedDataSize "
+                f"declares {declared} bytes, have {len(payload)}."
+            )
+            raise ValueError(msg)
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error as exc:
+            msg = f"MetaImage data corrupt/truncated: {exc}"
+            raise ValueError(msg) from exc
     count = int(np.prod(dims)) * channels
     if len(payload) < count * dtype.itemsize:
         msg = (
@@ -111,13 +122,26 @@ def write_mha(
 ) -> Path:
     """Write a channels-last ndarray as a single-file MetaImage.
 
-    ``vector`` forces the last axis to be the channel axis; by default
-    a trailing axis of size ≤ 4 on a ≥3-D array is treated as channels
-    (matching how displacement fields ``(H, W, 2)`` are stored).
+    ``vector`` forces (or forbids, with ``False``) treating the last
+    axis as the channel axis. By default only a 3-D array whose
+    trailing axis is 2 or 3 is auto-detected as a 2-D vector image
+    (displacement fields ``(H, W, 2)``, RGB ``(H, W, 3)``); any other
+    ≥3-D shape with a small trailing axis is ambiguous (it could be a
+    3-D scalar volume) and requires an explicit ``vector`` argument.
     """
     array = np.asarray(array)
     if vector is None:
-        vector = array.ndim >= 3 and array.shape[-1] <= 4
+        if array.ndim == 3 and array.shape[-1] in (2, 3):
+            vector = True
+        elif array.ndim >= 4 and array.shape[-1] <= 4:
+            msg = (
+                f"Ambiguous shape {array.shape}: pass vector=True to store "
+                "the last axis as channels, or vector=False for a scalar "
+                "volume."
+            )
+            raise ValueError(msg)
+        else:
+            vector = False
     channels = array.shape[-1] if vector else 1
     spatial = array.shape[:-1] if vector else array.shape
     dims = " ".join(str(d) for d in reversed(spatial))

@@ -340,6 +340,11 @@ class TileServer:
         if moving is None:
             msg = "Load a slide before a registration transform."
             raise ValueError(msg)
+        # Replace semantics (reference rebuilds from the original slide
+        # path): a refined transform must not compose with the previous
+        # one, so unwrap any TransformedWSIReader back to its base slide.
+        while isinstance(moving, TransformedWSIReader):
+            moving = moving.reader
         fixed_info = None
         for sess in self.sessions.values():
             if sess is not state and sess["layers"].get("slide") is not None:

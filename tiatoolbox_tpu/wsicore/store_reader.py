@@ -209,16 +209,26 @@ class TransformedWSIReader(WSIReader):
 
             field = self._field
             fh, fw = field.shape[:2]
+            # Reference scaling (wsireader.py:6934-6948): the field frame
+            # is max(moving, fixed) dims per axis, with the moving slide
+            # centered via (fixed - moving)//2 pads when sizes differ.
             base_w, base_h = self.info.slide_dimensions
-            sx, sy = fw / base_w, fh / base_h
+            mov_w, mov_h = self.reader.info.slide_dimensions
+            frame_w, frame_h = max(base_w, mov_w), max(base_h, mov_h)
+            pad_x, pad_y = (base_w - mov_w) // 2, (base_h - mov_h) // 2
+            sx, sy = fw / frame_w, fh / frame_h
             # sample the displacement field over the requested region
             xs = (np.arange(size0[0]) + loc0[0]) * sx
             ys = (np.arange(size0[1]) + loc0[1]) * sy
             xi = np.clip(xs.astype(int), 0, fw - 1)
             yi = np.clip(ys.astype(int), 0, fh - 1)
             disp = field[np.ix_(yi, xi)]
-            src_x = (xs[None, :] / sx + disp[..., 0] / sx).astype(np.float32)
-            src_y = (ys[:, None] / sy + disp[..., 1] / sy).astype(np.float32)
+            src_x = (
+                xs[None, :] / sx + disp[..., 0] / sx - pad_x
+            ).astype(np.float32)
+            src_y = (
+                ys[:, None] / sy + disp[..., 1] / sy - pad_y
+            ).astype(np.float32)
             x0, x1 = int(src_x.min()) - 2, int(src_x.max()) + 2
             y0, y1 = int(src_y.min()) - 2, int(src_y.max()) + 2
             region0 = self.reader.read_bounds(
