@@ -92,6 +92,7 @@ class BandPlan:
         stride_wh: tuple[int, int],
         max_band_bytes: int = 96 * 1024 * 1024,
         bytes_per_pixel: int = 3,
+        min_bands: int = 6,
     ) -> "BandPlan | None":
         """Plan bands for the grid ``inputs`` ([x0, y0, x1, y1] rows).
 
@@ -100,6 +101,14 @@ class BandPlan:
         strides both axes). Returns None if it is not, or if banding
         would ship MORE pixels than the per-patch feed (stride >= patch:
         no overlap to save).
+
+        ``min_bands`` targets a minimum band COUNT (not just a byte
+        cap): a single band serializes decode→wire→dispatch→fetch
+        (nothing to overlap), so the planner splits the grid into at
+        least this many bands when there are enough patch rows — each
+        extra band costs only a (patch-stride)-row halo re-read. The
+        per-patch wire check below still rejects plans whose halos
+        outweigh the overlap saving.
         """
         inputs = np.asarray(inputs)
         pw, ph = int(patch_wh[0]), int(patch_wh[1])
@@ -134,32 +143,51 @@ class BandPlan:
             1,
             (max_band_bytes // (band_w * bytes_per_pixel) - (ph - sh)) // sh,
         )
-        rows_per_band = min(int(rows_fit), len(ys))
-        band_h = (rows_per_band - 1) * sh + ph
-        plan = BandPlan(patch_h=ph, patch_w=pw)
-        for r0 in range(0, len(ys), rows_per_band):
-            band_ys = ys[r0 : r0 + rows_per_band]
-            read_y = int(band_ys[0])
-            starts = []
-            ds_idx = []
-            for ri, y in enumerate(band_ys):
-                row = r0 + ri
-                for ci, x in enumerate(xs):
-                    ds_idx.append(row * n_cols + ci)
-                    starts.append((int(y) - read_y, int(x) - x_min))
-            plan.bands.append(
-                Band(
-                    read_x=x_min,
-                    read_y=read_y,
-                    band_w=band_w,
-                    band_h=band_h,
-                    ds_indices=np.asarray(ds_idx, np.int64),
-                    starts_local=np.asarray(starts, np.int32),
+        # band count target: pipeline depth first, byte budget as a cap
+        rows_target = (
+            max(1, -(-len(ys) // max(1, int(min_bands))))
+            if min_bands
+            else len(ys)
+        )
+
+        def make_plan(rows_per_band: int) -> "BandPlan":
+            band_h = (rows_per_band - 1) * sh + ph
+            plan = BandPlan(patch_h=ph, patch_w=pw)
+            for r0 in range(0, len(ys), rows_per_band):
+                band_ys = ys[r0 : r0 + rows_per_band]
+                read_y = int(band_ys[0])
+                starts = []
+                ds_idx = []
+                for ri, y in enumerate(band_ys):
+                    row = r0 + ri
+                    for ci, x in enumerate(xs):
+                        ds_idx.append(row * n_cols + ci)
+                        starts.append((int(y) - read_y, int(x) - x_min))
+                plan.bands.append(
+                    Band(
+                        read_x=x_min,
+                        read_y=read_y,
+                        band_w=band_w,
+                        band_h=band_h,
+                        ds_indices=np.asarray(ds_idx, np.int64),
+                        starts_local=np.asarray(starts, np.int32),
+                    )
                 )
+            return plan
+
+        per_patch_pixels = len(inputs) * pw * ph
+        for rows_per_band in dict.fromkeys(
+            (
+                min(int(rows_fit), len(ys), rows_target),
+                min(int(rows_fit), len(ys)),
             )
-        # enforce the documented guarantee: never ship MORE pixels than
-        # the per-patch feed (possible with one-axis overlap + gaps on
-        # the other axis, where bands include the inter-column gaps)
-        if plan.wire_pixels >= len(inputs) * pw * ph:
-            return None
-        return plan
+        ):
+            plan = make_plan(rows_per_band)
+            # enforce the documented guarantee: never ship MORE pixels
+            # than the per-patch feed (possible with one-axis overlap +
+            # gaps on the other axis, or when min_bands halos outweigh
+            # the overlap saving) — fall back to the byte-budget-maximal
+            # plan before giving up entirely.
+            if plan.wire_pixels < per_patch_pixels:
+                return plan
+        return None
