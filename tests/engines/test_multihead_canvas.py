@@ -109,12 +109,44 @@ class TestMultiheadDeviceCanvas:
             save_resolution={"units": "mpp", "resolution": 0.25},
         )
         out, seg = _run(hovernet, ioconfig, slide_path, force_host=False)
-        assert seg.last_stage_summary["path"] == (
+        assert seg.last_stage_summary["path"].startswith(
             "multitask-device-canvas+region-feed"
         )
         assert len(out["instances"]) > 10
         for key in ("decode", "wire", "dispatch-wall", "fetch"):
             assert key in seg.last_stage_summary
+
+    def test_device_energy_front_end_engages_and_matches_raw_hv(
+        self, hovernet, ioconfig, slide_path
+    ) -> None:
+        """The HBM Sobel-energy transform (ops/hv_energy.py) yields the
+        same instances as fetching raw hv + the host cv2 front-end."""
+        out_energy, seg = _run(hovernet, ioconfig, slide_path, force_host=False)
+        assert seg.last_stage_summary["path"].endswith("+device-energy")
+        # disable the transform: raw hv fetch + host front-end
+        seg2 = MultiTaskSegmentor(hovernet, batch_size=4,
+                                  num_loader_workers=0, verbose=False)
+        hook = hovernet.transform_canvas_for_postproc
+        hovernet.transform_canvas_for_postproc = lambda *a, **k: None
+        try:
+            out_raw = seg2.run(
+                [slide_path], patch_mode=False, ioconfig=ioconfig,
+                auto_get_mask=False,
+            )
+        finally:
+            hovernet.transform_canvas_for_postproc = hook
+        out_raw = next(iter(out_raw.values()))
+        assert not seg2.last_stage_summary["path"].endswith("+device-energy")
+        assert len(out_energy["instances"]) == len(out_raw["instances"])
+        cents_a = sorted(
+            tuple(np.round(np.asarray(v["centroid"], float), 2))
+            for v in out_energy["instances"].values()
+        )
+        cents_b = sorted(
+            tuple(np.round(np.asarray(v["centroid"], float), 2))
+            for v in out_raw["instances"].values()
+        )
+        assert cents_a == cents_b
 
     def test_finds_synthetic_nuclei(self, hovernet, ioconfig, slide_path) -> None:
         out, _ = _run(hovernet, ioconfig, slide_path, force_host=False)

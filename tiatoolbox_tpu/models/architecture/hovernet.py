@@ -326,7 +326,6 @@ class HoVerNet(ModelABC):
         )
 
         ksize = int((20 * scale_factor) + 1)
-        obj_size = math.ceil(10 * (scale_factor**2))
         sobel_h64 = cv2.Sobel(h_dir, cv2.CV_64F, 1, 0, sc["f64_a"], ksize=ksize)
         sobel_v64 = cv2.Sobel(v_dir, cv2.CV_64F, 0, 1, sc["f64_b"], ksize=ksize)
         # h_dir/v_dir (f32_a/f32_b) are dead past here; reuse as the
@@ -343,6 +342,48 @@ class HoVerNet(ModelABC):
         np.subtract(1, sobel_v, out=sobel_v)
 
         overall32 = np.maximum(sobel_h, sobel_v, out=sobel_h)
+        return HoVerNet._proc_np_overall(
+            blb, overall32, sc, scale_factor=scale_factor
+        )
+
+    @staticmethod
+    def _proc_np_energy(
+        np_map: np.ndarray,
+        energy_map: np.ndarray,
+        scale_factor: float = 1,
+    ) -> np.ndarray:
+        """As :meth:`_proc_np_hv` but from a PRECOMPUTED energy map.
+
+        The Sobel/normalize front-end ran on device
+        (:mod:`tiatoolbox_tpu.ops.hv_energy`); only the sequential
+        label/fill/flood back-half runs here.
+        """
+        blb_raw = np_map[..., 0]
+        sc = _proc_scratch(blb_raw.shape)
+        fg = np.greater_equal(blb_raw, 0.5, out=sc["bool_a"])
+        blb = sc["i32_a"]
+        ndimage.label(fg, output=blb)
+        blb = _remove_small_objects(blb, min_size=10, in_place=True)
+        np.minimum(blb, 1, out=blb)
+        overall32 = np.ascontiguousarray(energy_map, dtype=np.float32)
+        return HoVerNet._proc_np_overall(
+            blb, overall32, sc, scale_factor=scale_factor
+        )
+
+    @staticmethod
+    def _proc_np_overall(
+        blb: np.ndarray,
+        overall32: np.ndarray,
+        sc: "_Scratch",
+        scale_factor: float = 1,
+    ) -> np.ndarray:
+        """Shared watershed back-half: energy + foreground → instances.
+
+        ``blb`` must live in ``sc["i32_a"]`` and ``overall32`` must not
+        alias ``f64_a/f64_b/f64_c/i32_b/bool_a/u8_*`` (it may be
+        ``f32_a``, which is only read before ``f64_a`` is written).
+        """
+        obj_size = math.ceil(10 * (scale_factor**2))
         one_minus_blb = np.subtract(1, blb, out=sc["i32_b"])
         # f32 − i32 promotes to f64 (reference semantics)
         overall = np.subtract(overall32, one_minus_blb, out=sc["f64_a"])
@@ -455,10 +496,36 @@ class HoVerNet(ModelABC):
                 info["prob"] = float(type_prob)
         return inst_info_dict
 
-    def postproc(self, raw_maps: list, offset: tuple[int, int] = (0, 0)) -> tuple:
-        """[np, hv(, tp)] maps → ({instance seg result},) tuple.
+    def transform_canvas_for_postproc(self, normalized_canvas, head_channels):
+        """Device-side watershed front-end on the stitched canvas.
 
-        Matches reference ``hovernet.py:751-860`` output structure.
+        Maps the multihead canvas channels ``[np, hv0, hv1(, rest...)]``
+        to ``[np, energy(, rest...)]`` so the engine fetches one energy
+        channel instead of two hv channels and the host skips the
+        Sobel/normalize work (reference ``hovernet.py:530-560``, here
+        :mod:`tiatoolbox_tpu.ops.hv_energy`). Only valid when postproc
+        will run on the FULL canvas (the reference's tile mode
+        normalizes per tile). Returns ``(canvas, head_channels)``.
+        """
+        import jax.numpy as jnp
+
+        from tiatoolbox_tpu.ops.hv_energy import hv_energy
+
+        if list(head_channels[:2]) != [1, 2]:
+            return None  # unexpected layout: keep the hv fetch
+        np_ch = normalized_canvas[..., :1]
+        energy = hv_energy(normalized_canvas[..., 1:3])[..., None]
+        rest = normalized_canvas[..., 3:]
+        out = jnp.concatenate([np_ch, energy, rest], axis=-1)
+        return out, [1, 1, *head_channels[2:]]
+
+    def postproc(self, raw_maps: list, offset: tuple[int, int] = (0, 0)) -> tuple:
+        """[np, hv|energy(, tp)] maps → ({instance seg result},) tuple.
+
+        Matches reference ``hovernet.py:751-860`` output structure. A
+        single-channel second map is a device-precomputed energy
+        landscape (:meth:`transform_canvas_for_postproc`); two channels
+        are raw hv maps processed via the host front-end.
         """
         if len(raw_maps) == 3:
             np_map, hv_map, tp_map = raw_maps
@@ -472,7 +539,10 @@ class HoVerNet(ModelABC):
         import time as _time
 
         t0 = _time.perf_counter()
-        pred_inst = HoVerNet._proc_np_hv(np_map, hv_map)
+        if hv_map.ndim == 3 and hv_map.shape[-1] == 1:
+            pred_inst = HoVerNet._proc_np_energy(np_map, hv_map[..., 0])
+        else:
+            pred_inst = HoVerNet._proc_np_hv(np_map, hv_map)
         t1 = _time.perf_counter()
         info_dict = HoVerNet.get_instance_info(pred_inst, tp_map, offset)
         t2 = _time.perf_counter()

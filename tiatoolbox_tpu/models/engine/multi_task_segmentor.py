@@ -291,22 +291,54 @@ class MultiTaskSegmentor(SemanticSegmentor):
         timer.add("dispatch-wall", _time.perf_counter() - t_loop)
 
         h, w = int(canvas_wh[1]), int(canvas_wh[0])
+        # Device-side postproc front-end (e.g. HoVerNet's Sobel energy,
+        # ``ops/hv_energy.py``): when the model offers a canvas
+        # transform AND postproc will run on the full canvas (tile mode
+        # normalizes per tile — the transform's global minmax would
+        # change results) AND the caller doesn't want the raw head maps,
+        # run it in HBM and fetch the (smaller) transformed stack.
+        fetch_channels = head_channels
+        transform = getattr(self.model, "transform_canvas_for_postproc", None)
+        use_transform = (
+            transform is not None
+            and h * w <= self.full_postproc_limit
+            and not getattr(self, "return_predictions", False)
+            # a user-supplied postproc_func expects the RAW head maps
+            and getattr(self.model, "_postproc_func", None) is None
+        )
+        dev_final = None
+        if use_transform:
+            transformed = transform(canvas.normalized()[:h, :w], head_channels)
+            if transformed is not None:
+                dev_final, fetch_channels = transformed
+                path_name += "+device-energy"
         # Async drain: post_process_wsi's tile loop gates on the row
         # watermark, so watershed/instance extraction (host CPU) runs
         # WHILE the canvas crosses the link instead of after it.
         from tiatoolbox_tpu.parallel.pipeline import LazyRowsView
 
-        buf, watermark = self._fetch_canvas_async(canvas, h, w)
+        if dev_final is not None:
+            from tiatoolbox_tpu.parallel.pipeline import fetch_chunked_async
+
+            if str(self.canvas_wire_dtype) in ("float16", "f16", "fp16"):
+                dev_final = dev_final.astype(jnp.float16)
+                buf, watermark = fetch_chunked_async(
+                    dev_final, dtype=np.float32
+                )
+            else:
+                buf, watermark = fetch_chunked_async(dev_final)
+        else:
+            buf, watermark = self._fetch_canvas_async(canvas, h, w)
         head_maps = []
         c0 = 0
-        for c in head_channels:
+        for c in fetch_channels:
             head_maps.append(LazyRowsView(buf, watermark, slice(c0, c0 + c)))
             c0 += c
         summary = timer.summary()
         summary["path"] = path_name
         summary["wire_pixels"] = wire_pixels
         self.last_stage_summary = summary
-        self._pending_fetch = (watermark, h * w * n_channels)
+        self._pending_fetch = (watermark, h * w * sum(fetch_channels))
         return {"head_maps": head_maps, "canvas_wh": canvas_wh}
 
     # -- instance post-processing ---------------------------------------------------------
