@@ -17,16 +17,19 @@ import numpy as np
 from tiatoolbox_tpu import logger, rcParam
 from tiatoolbox_tpu.models.dataset.dataset_abc import PatchDatasetABC
 
+# Training label order of the kather100k pretrained zoo (reference
+# ``models/dataset/info.py:85-96``): class id i == KATHER_CLASSES[i] in
+# the models' output logits. NOT alphabetical.
 KATHER_CLASSES = [
-    "ADI",
     "BACK",
+    "NORM",
     "DEB",
-    "LYM",
+    "TUM",
+    "ADI",
     "MUC",
     "MUS",
-    "NORM",
     "STR",
-    "TUM",
+    "LYM",
 ]
 
 
