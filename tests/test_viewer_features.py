@@ -173,3 +173,109 @@ class TestViewerPage:
         html = render_viewer_html("t")
         assert "buildPredicate" in html
         assert "prop_stats" in html
+
+
+class TestViewerMultichannel:
+    """Viewer-driven fluorescence channel UI (VERDICT r3 item 6).
+
+    Drives ``/tileserver/channels`` + ``/tileserver/enhance`` with the
+    exact parameter forms the viewer page's ``applyChannels()`` /
+    enhance slider send (JSON color dict + active index list, ``val``
+    float), against a synthetic 5-channel OME fluorescence slide —
+    reference ``bokeh_app/main.py:169-320`` (``create_channel_color_ui``).
+    """
+
+    @pytest.fixture(scope="class")
+    def fluor(self, tmp_path_factory, served):
+        from tiatoolbox_tpu.wsicore.tiffio import TiffPyramidWriter
+
+        tmp = tmp_path_factory.mktemp("fluor")
+        chan = "".join(
+            f'<Channel ID="Channel:{i}" Name="DAPI{i}" Color="{c}"/>'
+            for i, c in enumerate(
+                [0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0xFF00FF]
+            )
+        )
+        ome = (
+            '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+            f"<Image><Pixels>{chan}</Pixels></Image></OME>"
+        )
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 120, (96, 96, 5)).astype(np.uint8)
+        path = tmp / "fluor.ome.tiff"
+        TiffPyramidWriter(
+            path, tile_size=32, description=ome, compression="deflate"
+        ).write([img])
+        sid = _put(served, "/tileserver/session_id")["session_id"]
+        _put(
+            served, "/tileserver/slide",
+            session_id=sid, slide_path=str(path),
+        )
+        return served, sid
+
+    def _tile(self, port, sid):
+        import cv2
+
+        url = (
+            f"http://127.0.0.1:{port}/tileserver/layer/slide/{sid}"
+            "/zoomify/TileGroup0/0-0-0.jpg"
+        )
+        with urllib.request.urlopen(url) as resp:
+            buf = np.frombuffer(resp.read(), np.uint8)
+        return cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+
+    def test_initchannels_payload(self, fluor) -> None:
+        # what the page's initChannels() reads on load
+        port, sid = fluor
+        out = _get(port, f"/tileserver/channels?session_id={sid}")
+        assert out["names"] == [f"DAPI{i}" for i in range(5)]
+        assert len(out["colors"]) == 5
+        assert out["colors"][0] == [1.0, 0.0, 0.0]
+        assert out["active"] is None or len(out["active"]) <= 5
+
+    def test_apply_channels_color_dict_and_active(self, fluor) -> None:
+        # exact applyChannels() form: channels=JSON color dict, active=list
+        port, sid = fluor
+        before = self._tile(port, sid)
+        dict_form = json.dumps(
+            {f"DAPI{i}": [0.0, 0.0, 1.0] for i in range(5)}
+        )
+        out = _put(
+            port, "/tileserver/channels",
+            session_id=sid, channels=dict_form, active=json.dumps([0, 1]),
+        )
+        assert out["channels"] == [0, 1]
+        assert out["colors"][0] == [0.0, 0.0, 1.0]
+        after = self._tile(port, sid)
+        # all-blue colors: red/green energy must collapse vs before
+        assert int(after[..., 0].sum()) < int(before[..., 0].sum())
+        assert after[..., 2].mean() > after[..., 0].mean()
+        # hex colors (the page's <input type=color> values) also accepted
+        out = _put(
+            port, "/tileserver/channels",
+            session_id=sid,
+            channels=json.dumps({f"DAPI{i}": "#00ff00" for i in range(5)}),
+            active=json.dumps(list(range(5))),
+        )
+        assert out["colors"][0] == [0.0, 1.0, 0.0]
+        assert out["channels"] == [0, 1, 2, 3, 4]
+
+    def test_enhance_slider(self, fluor) -> None:
+        port, sid = fluor
+        dim = self._tile(port, sid)
+        out = _put(port, "/tileserver/enhance", session_id=sid, val="4.0")
+        assert out["enhance"] == 4.0
+        bright = self._tile(port, sid)
+        assert bright.astype(int).sum() > dim.astype(int).sum()
+        _put(port, "/tileserver/enhance", session_id=sid, val="1.0")
+
+    def test_page_ships_channel_ui(self, served) -> None:
+        with urllib.request.urlopen(f"http://127.0.0.1:{served}/viewer") as resp:
+            html = resp.read().decode()
+        for element_id in (
+            "chanpanel", "chanrows", "chanapply", "chanall", "channone",
+            "enhance", "chanbtn",
+        ):
+            assert f'id="{element_id}"' in html
+        assert "initChannels();" in html  # wired into init()
+        assert "applyChannels" in html

@@ -833,19 +833,52 @@ class TileServer:
             threading.Thread(target=_stop, args=(server,), daemon=True).start()
         return {"status": "shutting down", "servers": len(servers)}
 
+    @staticmethod
+    def _parse_channel_color(value) -> tuple:
+        """'#rrggbb' or [r, g, b] (0-1 floats) → RGB tuple in [0, 1]."""
+        if isinstance(value, str) and value.startswith("#"):
+            return tuple(int(value[i : i + 2], 16) / 255 for i in (1, 3, 5))
+        return tuple(float(x) for x in value)
+
     def _ctl_channels(self, method, state, extra, params):  # noqa: ARG002
+        """Multichannel (fluorescence) channel control.
+
+        GET returns names/colors/active; PUT accepts the reference
+        ``set_channels`` form (reference ``tileserver.py:841-850``):
+        ``channels`` = JSON color dict (name → rgb or '#hex') and
+        ``active`` = JSON list of channel indices. A JSON list in
+        ``channels`` is also accepted as the active list (legacy form).
+        """
         post_proc = self._multichannel_post_proc(state)
         if post_proc is None:
-            return {"channels": None, "colors": None}
+            return {
+                "channels": None, "colors": None, "names": None,
+                "active": None,
+            }
         if method != "GET":
-            post_proc.set_active_channels(json.loads(params["channels"]))
+            if "channels" in params:
+                val = json.loads(params["channels"])
+                if isinstance(val, dict):
+                    post_proc.color_dict = {
+                        k: self._parse_channel_color(v) for k, v in val.items()
+                    }
+                    post_proc.is_validated = False
+                else:
+                    post_proc.set_active_channels(val)
+            if "active" in params:
+                post_proc.set_active_channels(json.loads(params["active"]))
         colors = (
             np.asarray(post_proc.colors).tolist()
             if post_proc.colors is not None
             else None
         )
         names = list(post_proc.color_dict) if post_proc.color_dict else None
-        return {"channels": post_proc.channels, "colors": colors, "names": names}
+        return {
+            "channels": post_proc.channels,
+            "colors": colors,
+            "names": names,
+            "active": post_proc.channels,
+        }
 
     def _ctl_enhance(self, method, state, extra, params):  # noqa: ARG002
         post_proc = self._multichannel_post_proc(state)

@@ -54,7 +54,18 @@ VIEWER_HTML = """<!DOCTYPE html>
   <input id="graphpath" type="text" placeholder="graph path (.json/.npz)"
          size="22"/>
   <button id="graphload">load graph</button>
+  <button id="chanbtn" style="display:none;">channels</button>
   <span id="pos"></span>
+</div>
+<div id="chanpanel" style="display:none; padding:8px; background:#2a2a2a;">
+  <div id="chanrows" style="display:flex; gap:14px; flex-wrap:wrap;"></div>
+  <button id="chanall">select all</button>
+  <button id="channone">deselect all</button>
+  <button id="chanapply">apply</button>
+  <label>enhance
+    <input id="enhance" type="range" min="0.1" max="10" step="0.1" value="1"/>
+  </label>
+  <span id="enhanceval">1.0</span>
 </div>
 <div id="filterpanel" style="display:none; padding:8px; background:#2a2a2a;">
   <div id="filterrows"></div>
@@ -101,6 +112,7 @@ async function init() {{
   const [w, h] = meta.slide_dimensions;
   scale = Math.min(canvas.width / w, canvas.height / h);
   draw();
+  initChannels();
 }}
 
 function resize() {{
@@ -458,6 +470,84 @@ document.getElementById('graphload').onclick = async () => {{
     }}
   }}
   await refreshLayers();
+}};
+
+// ---- multichannel (fluorescence) controls ---------------------------------
+let chanState = null;
+
+function rgbToHex(c) {{
+  return '#' + c.map(v => Math.round(v * 255).toString(16)
+                           .padStart(2, '0')).join('');
+}}
+
+function hexToRgb(h) {{
+  return [1, 3, 5].map(i => parseInt(h.slice(i, i + 2), 16) / 255);
+}}
+
+async function initChannels() {{
+  const res = await ctl('/tileserver/channels', 'GET');
+  if (!res || !res.names) return;
+  chanState = {{names: res.names, colors: res.colors,
+               active: res.active || res.names.map((_, i) => i)}};
+  document.getElementById('chanbtn').style.display = 'inline';
+  renderChanRows();
+}}
+
+function renderChanRows() {{
+  const div = document.getElementById('chanrows');
+  div.innerHTML = '';
+  chanState.names.forEach((name, i) => {{
+    const lbl = document.createElement('label');
+    lbl.className = 'chanrow';
+    const cb = document.createElement('input');
+    cb.type = 'checkbox';
+    cb.checked = chanState.active.includes(i);
+    const pick = document.createElement('input');
+    pick.type = 'color';
+    pick.value = rgbToHex(chanState.colors[i]);
+    lbl.append(cb, pick, document.createTextNode(name));
+    div.appendChild(lbl);
+  }});
+}}
+
+async function applyChannels() {{
+  const rows = document.querySelectorAll('#chanrows .chanrow');
+  const dict = {{}};
+  const active = [];
+  rows.forEach((row, i) => {{
+    const [cb, pick] = row.querySelectorAll('input');
+    dict[chanState.names[i]] = hexToRgb(pick.value);
+    if (cb.checked) active.push(i);
+  }});
+  const res = await ctl('/tileserver/channels', 'PUT',
+    {{channels: JSON.stringify(dict), active: JSON.stringify(active)}});
+  if (res) chanState = {{names: res.names, colors: res.colors,
+                        active: res.active}};
+  tileCache.clear();
+  draw();
+}}
+
+document.getElementById('chanbtn').onclick = () => {{
+  const panel = document.getElementById('chanpanel');
+  panel.style.display = panel.style.display === 'none' ? 'block' : 'none';
+}};
+document.getElementById('chanapply').onclick = applyChannels;
+document.getElementById('chanall').onclick = () => {{
+  document.querySelectorAll('#chanrows input[type=checkbox]')
+    .forEach(cb => cb.checked = true);
+  applyChannels();
+}};
+document.getElementById('channone').onclick = () => {{
+  document.querySelectorAll('#chanrows input[type=checkbox]')
+    .forEach(cb => cb.checked = false);
+  applyChannels();
+}};
+document.getElementById('enhance').oninput = async e => {{
+  const v = parseFloat(e.target.value);
+  document.getElementById('enhanceval').textContent = v.toFixed(1);
+  await ctl('/tileserver/enhance', 'PUT', {{val: v}});
+  tileCache.clear();
+  draw();
 }};
 
 document.getElementById('split').onclick = async () => {{
