@@ -1,4 +1,8 @@
-"""MFU experiments for the resnet18 serving forward (run on a real chip).
+"""MFU experiments for the serving forwards (run on a real chip).
+
+Two sections, selected by argv: ``resnet`` (default, the r02/r03
+record) and ``hovernet`` (the r03 0.58-MFU attribution, VERDICT r3
+item 5): ``python scripts/mfu_experiments.py hovernet``.
 
 Round-2 review (VERDICT.md) hypothesised the 0.56 reported MFU was an
 MXU-underfill problem in the 64-channel stages, fixable by zero-padding
@@ -160,5 +164,276 @@ def main() -> None:
           f"(fixed call overhead {1e3 * (t10 - 10 * per):.1f} ms)")
 
 
+V5E_BF16_PEAK = 197e12
+
+
+def _slope(fn_factory, x, n_lo=3, n_hi=13, reps=3):
+    """Per-iteration seconds from two chain lengths (fixed RTT cancels)."""
+    lo = _best(fn_factory(n_lo), x, reps)
+    hi = _best(fn_factory(n_hi), x, reps)
+    return (hi - lo) / (n_hi - n_lo)
+
+
+def _stage_chain(apply_fn, variables, n_iter, out_reduce=None):
+    """Chain `apply_fn(variables, x)` n_iter times with a data dep."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(x0):
+        def body(_, carry):
+            xc, acc = carry
+            out = apply_fn(variables, xc)
+            s = (out_reduce or (lambda o: jnp.sum(o.astype(jnp.float32))))(out)
+            xc = xc + (s * 0).astype(xc.dtype)
+            return (xc, s)
+
+        return lax.fori_loop(0, n_iter, body, (x0, jnp.float32(0)))[1]
+
+    return chain
+
+
+def _stage_flops(apply_fn, variables, x_np):
+    import jax
+
+    lowered = jax.jit(apply_fn).lower(variables, x_np)
+    ca = lowered.compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca.get("flops", 0.0))
+
+
+def hovernet() -> None:
+    """Per-stage FLOP/time attribution of the HoVerNet-fast forward.
+
+    The bench's ``hovernet_device_mfu`` divides XLA's own FLOP count of
+    the full graph by wall time x peak. This decomposes that number:
+    encoder residual stages vs the three valid-padding dense-block
+    decoder branches, plus op-level experiments on the decoder's
+    grouped convs (feature_group_count=4, 128->32: each MXU pass fills
+    only 8 of 128 output lanes) and their numerics-preserving
+    block-diagonal dense rewrite.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tiatoolbox_tpu.models.architecture.hovernet import (
+        DenseBlock,
+        HoVerNet,
+        ResidualBlock,
+        _DecoderBranch,
+    )
+
+    B = 32
+    rng = jax.random.PRNGKey(0)
+
+    print("== full forward (batch 32, 256x256, fast, bf16) ==")
+    model = HoVerNet(num_types=5, mode="fast", compute_dtype=jnp.bfloat16)
+    model.init(input_shape=(1, 256, 256, 3))
+    # bf16 cast WITHOUT the block-diag rewrite: grouped baseline first
+    model.variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if getattr(a, "dtype", None) == jnp.float32
+        else a,
+        model.variables,
+    )
+    x_np = np.random.randn(B, 256, 256, 3).astype(jnp.bfloat16)
+    x = jax.device_put(x_np)
+    # algorithmic FLOPs: always the grouped graph (the block-diag
+    # rewrite's zero blocks are not useful work)
+    full_flops = _stage_flops(
+        lambda v, xb: model.module.apply(v, xb),
+        model.variables,
+        x_np,
+    )
+
+    from tiatoolbox_tpu.models.architecture.hovernet import (
+        _expand_dense_group_kernels,
+    )
+
+    variants = [("grouped (stock)", model.module, model.variables)]
+    variants.append(
+        (
+            "block-diag dense (optimize_for_inference)",
+            model.module.clone(dense_split=1),
+            _expand_dense_group_kernels(model.variables, split=4),
+        )
+    )
+    full_s = None
+    for tag, module, variables in variants:
+        def fwd_factory(n, module=module, variables=variables):
+            return _stage_chain(
+                lambda v, xc: module.apply(v, xc), variables, n,
+                out_reduce=lambda o: sum(
+                    jnp.sum(v.astype(jnp.float32)) for v in o.values()
+                ),
+            )
+
+        s = _slope(fwd_factory, x)
+        if full_s is None:
+            full_s = s  # stage decomposition below compares vs grouped
+        print(
+            f"  {tag:42s} {s * 1e3:7.2f} ms  {full_flops / 1e12:.2f} TFLOP  "
+            f"MFU {full_flops / s / V5E_BF16_PEAK:.3f}  "
+            f"({B * 256 * 256 / s / 1e6:.0f} MPix/s)"
+        )
+    module, variables = model.module, model.variables
+
+    # -- stage decomposition (standalone modules, random weights: the
+    #    timings depend on shapes, not values) --------------------------
+    stages = [
+        # (tag, module, input shape NHWC)
+        ("d0 res(64,64,256)x3 @256", ResidualBlock((64, 64, 256), 3),
+         (B, 256, 256, 64)),
+        ("d1 res(128,..,512)x4 s2", ResidualBlock((128, 128, 512), 4, 2),
+         (B, 256, 256, 256)),
+        ("d2 res(256,..,1024)x6 s2", ResidualBlock((256, 256, 1024), 6, 2),
+         (B, 128, 128, 512)),
+        ("d3 res(512,..,2048)x3 s2", ResidualBlock((512, 512, 2048), 3, 2),
+         (B, 64, 64, 1024)),
+    ]
+    print("== encoder stages ==")
+    total_stage_s, total_stage_fl = 0.0, 0.0
+    for tag, mod, shape in stages:
+        xs = np.random.randn(*shape).astype(jnp.bfloat16)
+        xd = jax.device_put(xs)
+        v = jax.jit(mod.init)(rng, xs)
+        v = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, v
+        )
+        apply_fn = lambda vv, xx, m=mod: m.apply(vv, xx)
+        s = _slope(lambda n, vv=v, f=apply_fn: _stage_chain(f, vv, n), xd)
+        fl = _stage_flops(apply_fn, v, xs)
+        total_stage_s += s
+        total_stage_fl += fl
+        print(f"  {tag:28s} {s * 1e3:7.2f} ms  {fl / 1e12:5.2f} TFLOP  "
+              f"MFU {fl / s / V5E_BF16_PEAK:.3f}")
+
+    print("== decoder branch (x3 in the full graph) ==")
+    d_shapes = [
+        (B, 164, 164, 256), (B, 92, 92, 512),
+        (B, 64, 64, 1024), (B, 32, 32, 1024),
+    ]
+    d_np = [np.random.randn(*s).astype(jnp.bfloat16) for s in d_shapes]
+    branch = _DecoderBranch(ksize=3, out_ch=2)
+    vb = jax.jit(branch.init)(rng, d_np)
+    vb = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vb
+    )
+    d_dev = tuple(jax.device_put(a) for a in d_np)
+
+    # NOTE 1: the skip tensors must be jit ARGUMENTS, not closure
+    # constants — closed-over device arrays are baked into the HLO as
+    # literals (~600 MB here), which breaks the remote-compile path.
+    # NOTE 2: EVERY input must depend on the loop carry — if only d0
+    # varies, XLA hoists the whole u3/u2 chain (loop-invariant in
+    # d1..d3) out of the fori_loop and the slope measures just
+    # u1_conva+u0 (first attempt read MFU 1.31, i.e. >1: impossible).
+    def branch_chain(n):
+        @jax.jit
+        def chain(ds):
+            def body(_, carry):
+                s, acc = carry
+                din = [d + (s * 0).astype(d.dtype) for d in ds]
+                out = branch.apply(vb, din)
+                s = jnp.sum(out.astype(jnp.float32))
+                return (s, acc + s)
+
+            return lax.fori_loop(0, n, body, (jnp.float32(0),) * 2)[1]
+
+        return chain
+
+    br_s = _slope(branch_chain, d_dev)
+    br_fl = _stage_flops(lambda vv, ds: branch.apply(vv, list(ds)),
+                         vb, tuple(d_np))
+    print(f"  {'decoder branch':28s} {br_s * 1e3:7.2f} ms  "
+          f"{br_fl / 1e12:5.2f} TFLOP  MFU {br_fl / br_s / V5E_BF16_PEAK:.3f}")
+    acc_s = total_stage_s + 3 * br_s
+    acc_fl = total_stage_fl + 3 * br_fl
+    print(f"  {'stages + 3 branches':28s} {acc_s * 1e3:7.2f} ms  "
+          f"{acc_fl / 1e12:5.2f} TFLOP  (full fwd {full_s * 1e3:.2f} ms)")
+
+    print("== dense-block grouped conv (the decoder's inner op) ==")
+    # u3 dense unit conv2 shapes: 128->32, g=4, ~58x58 spatial
+    xs = np.random.randn(B, 58, 58, 128).astype(jnp.bfloat16)
+    xd = jax.device_put(xs)
+
+    def conv_fn(k_np, groups):
+        k = jax.device_put(k_np)
+
+        def fn(_, xx):
+            out = lax.conv_general_dilated(
+                xx, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+            )
+            return jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+        return fn
+
+    kg = np.random.randn(3, 3, 32, 32).astype(jnp.bfloat16)  # g=4: Cin/g=32
+    kd = np.random.randn(3, 3, 128, 32).astype(jnp.bfloat16)
+    # block-diagonal dense kernel == grouped conv numerics exactly
+    kbd = np.zeros((3, 3, 128, 32), np.float32)
+    for g in range(4):
+        kbd[:, :, g * 32:(g + 1) * 32, g * 8:(g + 1) * 8] = kg[
+            :, :, :, g * 8:(g + 1) * 8
+        ]
+    kbd = kbd.astype(jnp.bfloat16)
+    for tag, k_np, g in [
+        ("grouped g=4 128->32", kg, 4),
+        ("dense 128->32 (4x FLOPs)", kd, 1),
+        ("block-diag dense (exact)", kbd, 1),
+    ]:
+        fn = conv_fn(k_np, g)
+        s = _slope(lambda n, f=fn: _stage_chain(f, None, n), xd)
+        macs = B * 56 * 56 * 9 * (128 // g) * 32
+        print(f"  {tag:28s} {s * 1e3:7.3f} ms  "
+              f"{2 * macs / s / V5E_BF16_PEAK * 100:5.1f}% of peak "
+              "(own FLOPs)")
+
+    # Is the block-diag rewrite bit-identical ON THIS HARDWARE? (In
+    # theory the K=128 MXU reduction could pair the 32 nonzero products
+    # differently than the K=32 grouped pass; measure, don't assume.)
+    out_g = np.asarray(jax.jit(conv_fn(kg, 4))(None, xd))
+    out_bd = np.asarray(jax.jit(conv_fn(kbd, 1))(None, xd))
+    bit_equal = np.array_equal(out_g, out_bd)
+    max_diff = float(
+        np.max(np.abs(out_g.astype(np.float32) - out_bd.astype(np.float32)))
+    )
+    print(f"  block-diag vs grouped: bit_identical={bit_equal} "
+          f"max|diff|={max_diff:.3e}")
+
+    print("== dense block: concat topology cost ==")
+    # One u3-style dense block (8 units) vs the same convs without the
+    # growing concat (feeding a fixed 384-ch input): isolates the
+    # concat/copy overhead from the conv work.
+    dense = DenseBlock((1, 3), (128, 32), 8)
+    xs = np.random.randn(B, 62, 62, 256).astype(jnp.bfloat16)
+    xd = jax.device_put(xs)
+    vd = jax.jit(dense.init)(rng, xs)
+    vd = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vd
+    )
+    s = _slope(
+        lambda n: _stage_chain(
+            lambda vv, xx: jnp.pad(
+                dense.apply(vv, xx)[..., :256],
+                ((0, 0), (8, 8), (8, 8), (0, 0)),
+            ),
+            vd, n,
+        ),
+        xd,
+    )
+    fl = _stage_flops(lambda vv, xx: dense.apply(vv, xx), vd, xs)
+    print(f"  {'u3 dense block (8 units)':28s} {s * 1e3:7.2f} ms  "
+          f"{fl / 1e12:5.2f} TFLOP  MFU {fl / s / V5E_BF16_PEAK:.3f}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "hovernet":
+        hovernet()
+    else:
+        main()

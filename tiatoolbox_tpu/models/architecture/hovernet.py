@@ -124,19 +124,64 @@ class DenseBlock(nn.Module):
         return nn.relu(out)
 
 
+def _expand_dense_group_kernels(variables: dict, split: int) -> dict:
+    """Expand every dense-unit grouped-conv kernel to block-diagonal
+    dense form: ``(kh, kw, cin/split, cout)`` → ``(kh, kw, cin, cout)``
+    with group g's taps on the diagonal block and zeros elsewhere."""
+    import re
+    from collections.abc import Mapping
+
+    conv2_re = re.compile(r"u\d+_conv2")
+
+    def expand(kernel):
+        k = np.asarray(kernel)
+        kh, kw, cin_g, cout = k.shape
+        og = cout // split
+        out = np.zeros((kh, kw, cin_g * split, cout), k.dtype)
+        for g in range(split):
+            sl = slice(g * og, (g + 1) * og)
+            out[:, :, g * cin_g : (g + 1) * cin_g, sl] = k[:, :, :, sl]
+        return jnp.asarray(out)
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            return {kk: walk(vv, (*path, kk)) for kk, vv in node.items()}
+        if (
+            len(path) >= 3
+            and path[-1] == "kernel"
+            and conv2_re.fullmatch(str(path[-2]))
+            and str(path[-3]).endswith("_dense")
+        ):
+            return expand(node)
+        return node
+
+    return walk(variables, ())
+
+
 class _DecoderBranch(nn.Module):
-    """One decoder head: u3 → u2 → u1 → u0 stages."""
+    """One decoder head: u3 → u2 → u1 → u0 stages.
+
+    ``dense_split`` is the dense-units' grouped-conv group count (4 in
+    the reference topology). ``optimize_for_inference`` rebuilds the
+    net with ``dense_split=1`` and block-diagonal kernels: the g=4
+    grouped conv (per-group 32→8) fills only 8 of the MXU's 128 output
+    lanes and measures 2% of peak on v5e; the block-diagonal dense
+    form computes the same map at 12% of peak (scripts/
+    mfu_experiments.py hovernet, docs/MFU_HOVERNET.md).
+    """
 
     ksize: int = 5
     out_ch: int = 2
+    dense_split: int = 4
 
     def setup(self) -> None:
         k = self.ksize
+        s = self.dense_split
         self.u3_conva = _conv(256, k, name="u3_conva")
-        self.u3_dense = DenseBlock((1, k), (128, 32), 8, name="u3_dense")
+        self.u3_dense = DenseBlock((1, k), (128, 32), 8, split=s, name="u3_dense")
         self.u3_convf = _conv(512, 1, name="u3_convf")
         self.u2_conva = _conv(128, k, name="u2_conva")
-        self.u2_dense = DenseBlock((1, k), (128, 32), 4, name="u2_dense")
+        self.u2_dense = DenseBlock((1, k), (128, 32), 4, split=s, name="u2_dense")
         self.u2_convf = _conv(256, 1, name="u2_convf")
         self.u1_conva = nn.Conv(
             64, (k, k), padding="SAME", use_bias=False, name="u1_conva"
@@ -161,6 +206,7 @@ class _HoVerNetNet(nn.Module):
     num_input_channels: int = 3
     num_types: int | None = None
     mode: str = "original"
+    dense_split: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> dict:
@@ -188,7 +234,12 @@ class _HoVerNetNet(nn.Module):
         branches = ["np", "hv"] if self.num_types is None else ["tp", "np", "hv"]
         for name in branches:
             out_ch = self.num_types if name == "tp" else 2
-            out[name] = _DecoderBranch(ksize=ksize, out_ch=out_ch, name=name)(d)
+            out[name] = _DecoderBranch(
+                ksize=ksize,
+                out_ch=out_ch,
+                dense_split=self.dense_split,
+                name=name,
+            )(d)
         return out
 
 
@@ -234,6 +285,34 @@ class HoVerNet(ModelABC):
             size = 270 if self.mode == "original" else 256
             input_shape = (1, size, size, 3)
         super().init(rng_key, input_shape)
+
+    def optimize_for_inference(self) -> "HoVerNet":
+        """bf16 weights + block-diagonal dense-unit convs.
+
+        The decoder dense units' g=4 grouped convs (per-group 32ch→8ch)
+        fill only 8 of the MXU's 128 output lanes — measured 2% of peak
+        on v5e vs 12% for the same map expressed as a dense conv with a
+        block-diagonal kernel (``scripts/mfu_experiments.py hovernet``).
+        The rewrite zero-fills the cross-group kernel taps, so the
+        nonzero arithmetic is unchanged; like the ResNet s2d stem it is
+        gated on a reduced-precision ``compute_dtype`` because the wider
+        K=128 reduction may pair the 32 live products differently than
+        the grouped K=32 pass. float32 parity runs are a bit-exact
+        no-op. Call AFTER loading weights (the rewrite transforms the
+        currently-attached kernels).
+        """
+        super().optimize_for_inference()
+        split = getattr(self.module, "dense_split", 1)
+        if (
+            self.compute_dtype == jnp.float32
+            or self.variables is None
+            or split == 1
+        ):
+            return self
+        self.variables = _expand_dense_group_kernels(self.variables, split)
+        self.module = self.module.clone(dense_split=1)
+        self._invalidate_jitted()
+        return self
 
     # -- inference -----------------------------------------------------------------
 

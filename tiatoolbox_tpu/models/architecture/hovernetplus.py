@@ -57,7 +57,12 @@ class _HoVerNetPlusNet(_HoVerNetNet):
             ("ls", self.num_layers),
         ]
         for name, out_ch in branch_defs:
-            out[name] = _DecoderBranch(ksize=3, out_ch=out_ch, name=name)(d)
+            out[name] = _DecoderBranch(
+                ksize=3,
+                out_ch=out_ch,
+                dense_split=self.dense_split,
+                name=name,
+            )(d)
         return out
 
 
