@@ -61,6 +61,37 @@ PATCH_BYTES_RGB = 224 * 224 * 3
 PATCH_BYTES_YUV = PATCH_BYTES_RGB // 2
 
 
+def cached_synth_slide(name: str, size, mpp, objective_power) -> str:
+    """Deterministic synthetic bench slide, cached on disk.
+
+    Generation is deterministic (seeded), so the TIFF is generated once
+    per (size, mpp) and reused across bench runs — r04 spent 194.6 s of
+    the 331.8 s patch-predictor section regenerating the same slide
+    (VERDICT r4 item 5). The cache key carries a generator version: bump
+    it whenever ``synthetic_he_patch``/``make_synthetic_slide`` change.
+    """
+    from pathlib import Path
+
+    from tiatoolbox_tpu.data.synth import make_synthetic_slide
+
+    cache_dir = Path(
+        os.environ.get(
+            "TIATOOLBOX_BENCH_CACHE",
+            Path.home() / ".tiatoolbox_tpu" / "bench_cache",
+        )
+    )
+    key = f"{name}_{size[0]}x{size[1]}_mpp{mpp}_p{objective_power:g}_v2.tiff"
+    path = cache_dir / key
+    if not path.exists():
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_name(path.name + f".tmp{os.getpid()}")
+        make_synthetic_slide(
+            tmp, size=size, mpp=mpp, objective_power=objective_power
+        )
+        os.replace(tmp, path)
+    return str(path)
+
+
 def measure_link_mb_per_sec(n_bufs: int = 40, streams: int = 4) -> dict:
     """Host→device bandwidth with distinct 19 MB buffers.
 
@@ -144,7 +175,6 @@ def bench_patch_predictor() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from tiatoolbox_tpu.data.synth import make_synthetic_slide
     from tiatoolbox_tpu.models.architecture.vanilla import CNNModel
     from tiatoolbox_tpu.models.engine.io_config import IOPatchPredictorConfig
     from tiatoolbox_tpu.models.engine.patch_predictor import PatchPredictor
@@ -157,8 +187,9 @@ def bench_patch_predictor() -> dict:
         phases[name] = round(time.time() - t_phase, 1)
         t_phase = time.time()
 
-    slide_path = f"/tmp/bench_slide_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(8192, 6144), mpp=0.5, objective_power=20)
+    slide_path = cached_synth_slide(
+        "bench", size=(8192, 6144), mpp=0.5, objective_power=20
+    )
     mark("synth_slide")
 
     batch_size = 128
@@ -194,7 +225,9 @@ def bench_patch_predictor() -> dict:
 
     model.stage_batch = stage_logged
 
-    def run_once(wire: str) -> tuple[float, int, dict, dict]:
+    def run_once(
+        wire: str, threads: int = 4, inflight: int = 12
+    ) -> tuple[float, int, dict, dict]:
         model.wire_format = wire
         wire_log.clear()
         t0 = time.perf_counter()
@@ -205,21 +238,24 @@ def bench_patch_predictor() -> dict:
             output_type="dict",
             auto_get_mask=False,
             verbose=False,
-            transfer_threads=4,
-            max_inflight_batches=12,
+            transfer_threads=threads,
+            max_inflight_batches=inflight,
         )
         elapsed = time.perf_counter() - t0
         stats = wire_log.stats()
         stats["busy_frac"] = (
             round(stats["busy_s"] / elapsed, 3) if elapsed > 0 else None
         )
+        stats["threads"] = threads
+        stats["inflight"] = inflight
         result = next(iter(out.values()))
         return elapsed, len(result["predictions"]), result, stats
 
     # Absorb first-run effects (engine-path compiles, relay warm-up) on
     # a small slide so the timed runs measure steady state.
-    warm_slide = f"/tmp/bench_warm_{os.getpid()}.tiff"
-    make_synthetic_slide(warm_slide, size=(1024, 768), mpp=0.5, objective_power=20)
+    warm_slide = cached_synth_slide(
+        "warm", size=(1024, 768), mpp=0.5, objective_power=20
+    )
     for wire in ("rgb", "yuv420"):
         model.wire_format = wire
         predictor.run(
@@ -233,17 +269,31 @@ def bench_patch_predictor() -> dict:
     # link); the tunnel's drain rate wanders, so keep the best (peak
     # capability) and report each run's link alongside. The post-run
     # link probe runs LAST in main() — it fills the relay's burst
-    # buffer and would throttle any run that follows it.
+    # buffer and would throttle any run that follows it. The slide
+    # cache (r05) reclaimed ~190 s of the section budget, spent here:
+    # a transfer-thread/inflight sweep on the headline wire, then
+    # best-of-N at the winning config (VERDICT r4 item 5: close the
+    # 13% link idle — busy_frac ≥ 0.95 or prove the tunnel can't).
     runs = {"rgb": [], "yuv420": []}
     results = {}
     n_patches = 0
-    for rep in range(3):
-        for wire in ("rgb", "yuv420"):
-            if rep == 2 and wire == "rgb":
-                continue  # yuv420 is the headline format: 3 runs vs 2
-            elapsed, n_patches, result, stats = run_once(wire)
-            runs[wire].append({"pps": round(n_patches / elapsed, 1), **stats})
-            results[wire] = result
+
+    def timed(wire: str, threads: int, inflight: int) -> float:
+        nonlocal n_patches
+        elapsed, n_patches, result, stats = run_once(wire, threads, inflight)
+        runs[wire].append({"pps": round(n_patches / elapsed, 1), **stats})
+        results[wire] = result
+        return n_patches / elapsed
+
+    for _ in range(3):
+        timed("rgb", 4, 12)
+    sweep_best, sweep_pps = (4, 12), 0.0
+    for cfg in ((4, 12), (6, 16), (8, 16), (6, 24)):
+        pps = timed("yuv420", *cfg)
+        if pps > sweep_pps:
+            sweep_best, sweep_pps = cfg, pps
+    for _ in range(5):
+        timed("yuv420", *sweep_best)
     mark("timed_runs")
 
     delta = float(
@@ -251,6 +301,13 @@ def bench_patch_predictor() -> dict:
             results["rgb"]["probabilities"] - results["yuv420"]["probabilities"]
         ).max()
     )
+    # Label fidelity of the lossy headline wire (VERDICT r4 item 2):
+    # argmax agreement between the rgb and yuv420 runs over the full
+    # bench grid, plus the raw flip count.
+    preds_rgb = np.asarray(results["rgb"]["predictions"])
+    preds_yuv = np.asarray(results["yuv420"]["predictions"])
+    wire_flips = int((preds_rgb != preds_yuv).sum())
+    wire_agreement = float((preds_rgb == preds_yuv).mean()) if len(preds_rgb) else None
 
     # Device-plane throughput via CHAIN-LENGTH SLOPE: time the same
     # chained-forward program at two iteration counts and difference.
@@ -315,6 +372,8 @@ def bench_patch_predictor() -> dict:
         "mfu": device_pps * RESNET18_FLOPS / V5E_BF16_PEAK,
         "device_call_overhead_ms": call_overhead_ms,
         "wire_prob_delta_max": delta,
+        "wire_argmax_agreement": wire_agreement,
+        "wire_label_flips": wire_flips,
         "slide_path": slide_path,
         "phase_seconds": phases,
     }
@@ -509,12 +568,12 @@ def bench_mask_extract() -> dict:
     """
     import sys
 
-    from tiatoolbox_tpu.data.synth import make_synthetic_slide
     from tiatoolbox_tpu.tools.patchextraction import get_patch_extractor
     from tiatoolbox_tpu.wsicore.wsireader import WSIReader
 
-    slide_path = f"/tmp/bench_mask_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(4096, 3072), mpp=0.5, objective_power=20)
+    slide_path = cached_synth_slide(
+        "mask", size=(4096, 3072), mpp=0.5, objective_power=20
+    )
 
     def run_ours() -> tuple[int, float]:
         wsi = WSIReader.open(slide_path)
@@ -594,13 +653,13 @@ def bench_semantic_segmentor() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from tiatoolbox_tpu.data.synth import make_synthetic_slide
     from tiatoolbox_tpu.models.architecture.unet import UNetModel
     from tiatoolbox_tpu.models.engine.io_config import IOSegmentorConfig
     from tiatoolbox_tpu.models.engine.semantic_segmentor import SemanticSegmentor
 
-    slide_path = f"/tmp/bench_seg_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(4096, 3072), mpp=0.5, objective_power=20)
+    slide_path = cached_synth_slide(
+        "seg", size=(4096, 3072), mpp=0.5, objective_power=20
+    )
     model = UNetModel(
         num_input_channels=3,
         num_output_channels=2,
@@ -690,7 +749,6 @@ def bench_multitask_segmentor() -> dict:
     ``get_pretrained_model`` looks, so the watershed/instance stages see
     representative blob statistics instead of a degenerate random map.
     """
-    from tiatoolbox_tpu.data.synth import make_synthetic_slide
     from tiatoolbox_tpu.models.architecture import get_pretrained_model
     from tiatoolbox_tpu.models.engine.multi_task_segmentor import MultiTaskSegmentor
 
@@ -701,8 +759,9 @@ def bench_multitask_segmentor() -> dict:
 
     ensure_hovernet_bench_checkpoint()
 
-    slide_path = f"/tmp/bench_mts_{os.getpid()}.tiff"
-    make_synthetic_slide(slide_path, size=(2048, 1536), mpp=0.25, objective_power=40)
+    slide_path = cached_synth_slide(
+        "mts", size=(2048, 1536), mpp=0.25, objective_power=40
+    )
     model, ioconfig = get_pretrained_model("hovernet_fast-pannuke")
     # Keep the GROUPED topology for FLOP counting: optimize_for_inference
     # rewrites the dense-unit grouped convs block-diagonally (faster on
@@ -863,18 +922,23 @@ def main() -> None:
     # real HF weight+dataset fetch behind a short connectivity probe;
     # null in zero-egress environments, the real number the moment a
     # connected driver runs this.
+    # The accuracy certifies the SAME yuv420 wire the headline quotes
+    # (VERDICT r4 item 2); the status string distinguishes "offline"
+    # from "broken" (item 7).
     kather_accuracy = None
     try:
         import sys
 
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
-        from validate_kather import try_fetch_and_evaluate
+        from validate_kather import fetch_and_evaluate_with_status
 
-        acc = try_fetch_and_evaluate(limit=2000)
+        acc, kather_status = fetch_and_evaluate_with_status(
+            limit=2000, wire="yuv420"
+        )
         if acc is not None:
             kather_accuracy = round(float(acc["accuracy"]), 4)
-    except Exception:  # noqa: BLE001 - best-effort
-        pass
+    except Exception as exc:  # noqa: BLE001 - best-effort
+        kather_status = f"probe-crashed: {type(exc).__name__}: {exc}"
 
     # Link probe LAST: it deliberately saturates the relay's burst
     # buffer, which throttles any transfer-bound run after it.
@@ -958,7 +1022,10 @@ def main() -> None:
         "hovernet_e2e_mpix_per_sec": _r(mts["mpix_per_sec"]),
         "hovernet_instances_per_sec": _r(mts["instances_per_sec"]),
         "hovernet_device_mfu": _r(mts.get("device_mfu")),
+        "wire_argmax_agreement": _r(pp.get("wire_argmax_agreement"), 4),
+        "wire_label_flips": pp.get("wire_label_flips"),
         "kather_accuracy": kather_accuracy,
+        "kather_accuracy_status": kather_status[:160],
         "details_file": "BENCH_DETAILS.json",
     }
     print(json.dumps(result))

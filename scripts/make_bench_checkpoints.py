@@ -111,7 +111,44 @@ def build_functional_hovernet_variables(model) -> dict:
             conva[1, 1, 0, 0] = 1.0
             head_k[0, 0, 0, 1] = TP_GAIN
             head_b[1] = -TP_GAIN * NP_DENSITY_THR
+    _densify(variables)
     return variables
+
+
+# Computational-density noise: weights ride inside the compiled program
+# as closure constants (``ModelABC.bind_jit``), and XLA's algebraic
+# simplifier FOLDS convolutions whose kernel/BN-scale literals are all
+# zero — a mostly-zero checkpoint times a gutted graph (measured r05:
+# 77 ms/fwd vs 107.5 ms with dense weights — the source of the r04
+# ``hovernet_device_mfu`` 0.62 vs MFU_HOVERNET.md 0.45 contradiction).
+# The noise floor below keeps every kernel/scale literal nonzero so the
+# compiled program does the full topology's work, while staying ~3
+# orders of magnitude under the functional taps so the segmenter's
+# outputs (and the watershed smoke check) are unaffected.
+DENSIFY_EPS = 1e-3
+
+
+def _densify(variables: dict, eps: float = DENSIFY_EPS) -> None:
+    """Replace exact-zero kernel/scale entries with tiny nonzeros."""
+    import jax
+
+    rng = np.random.default_rng(20260820)
+
+    def leaf_noise(path, leaf) -> None:
+        name = path[-1].key
+        if name not in ("kernel", "scale"):
+            return  # biases/means may stay zero: adds don't fold convs
+        arr = np.asarray(leaf)
+        zeros = arr == 0.0
+        if not zeros.any():
+            return
+        noise = rng.uniform(eps / 4, eps, size=int(zeros.sum())).astype(
+            arr.dtype
+        ) * rng.choice((-1.0, 1.0), size=int(zeros.sum())).astype(arr.dtype)
+        arr[zeros] = noise
+
+    for path, leaf in jax.tree_util.tree_leaves_with_path(variables):
+        leaf_noise(path, leaf)
 
 
 def ensure_hovernet_bench_checkpoint(

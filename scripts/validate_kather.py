@@ -54,15 +54,29 @@ def evaluate(
     data: str | Path,
     limit: int | None = None,
     batch_size: int = 128,
+    wire: str = "rgb",
 ) -> dict:
     """Run the evaluation; returns {accuracy, per_class, confusion,
-    patches_per_sec, n}. Raises ValueError when no patches are found."""
+    patches_per_sec, n, wire}. Raises ValueError when no patches are
+    found.
+
+    ``wire`` selects the engine transport the accuracy certifies:
+    "rgb" (3 B/px, exact) or "yuv420" (1.5 B/px lossy chroma — the
+    bench headline's format; see ``ops/colorconv.py``). Batches route
+    through ``model.stage_batch`` exactly as the serving engine's
+    staged feed does, so a yuv420 run certifies the SAME pipeline the
+    headline throughput quotes.
+    """
     from tiatoolbox_tpu.models.architecture import get_pretrained_model
     from tiatoolbox_tpu.utils.misc import imread
 
+    if wire not in ("rgb", "yuv420"):
+        msg = f"wire must be 'rgb' or 'yuv420', got {wire!r}."
+        raise ValueError(msg)
     model, _ = get_pretrained_model(
         "resnet18-kather100k", pretrained_weights=weights
     )
+    model.wire_format = wire
 
     samples = list(iter_dataset(Path(data), limit))
     if not samples:
@@ -93,34 +107,46 @@ def evaluate(
         "confusion": confusion,
         "patches_per_sec": len(samples) / elapsed,
         "n": len(samples),
+        "wire": wire,
     }
 
 
-def try_fetch_and_evaluate(
+def fetch_and_evaluate_with_status(
     limit: int | None = 2000,
     batch_size: int = 128,
     network_timeout: float = 5.0,
-) -> dict | None:
-    """Self-arming accuracy validation (VERDICT r3 item 8).
+    wire: str = "rgb",
+) -> tuple[dict | None, str]:
+    """Self-arming accuracy validation with failure provenance.
 
     Attempts the real HF weight + dataset fetch behind a short
-    connectivity probe; in a zero-egress environment this returns None
-    in <~5 s. On any future connected run it downloads the
-    resnet18-kather100k torch checkpoint (reference
+    connectivity probe; in a zero-egress environment this returns
+    ``(None, "no-network")`` in <~5 s. On any future connected run it
+    downloads the resnet18-kather100k torch checkpoint (reference
     ``models/architecture/__init__.py:27-67``), the Kather validation
     subset (reference ``models/dataset/info.py:100-115``), converts,
-    evaluates, and returns the :func:`evaluate` result dict.
+    evaluates over the requested wire format, and returns
+    ``(result, "ok (n=...)")``.
+
+    The status string distinguishes every failure mode (VERDICT r4
+    item 7 — a connected-but-crashed probe must not read as
+    zero-egress): "no-network", "weights-fetch-failed[: err]",
+    "dataset-fetch-failed: err", "dataset-missing", "eval-failed: err",
+    or "ok (n=N, wire=W)".
     """
     from tiatoolbox_tpu import rcParam
     from tiatoolbox_tpu.utils.env_detection import has_network
 
     if not has_network(timeout=network_timeout):
-        return None
+        return None, "no-network"
     from tiatoolbox_tpu.models.architecture import fetch_pretrained_weights
 
-    weights = fetch_pretrained_weights("resnet18-kather100k")
+    try:
+        weights = fetch_pretrained_weights("resnet18-kather100k")
+    except Exception as exc:  # noqa: BLE001 - network-dependent
+        return None, f"weights-fetch-failed: {type(exc).__name__}: {exc}"
     if weights is None:
-        return None
+        return None, "weights-fetch-failed"
     data_dir = Path(rcParam["TIATOOLBOX_HOME"]) / "dataset"
     val_dir = data_dir / "kather100k-validation"
     if not val_dir.exists():
@@ -137,8 +163,8 @@ def try_fetch_and_evaluate(
                 local_dir=data_dir,
             )
             unzip_data(Path(zip_path), data_dir, del_zip=False)
-        except Exception:  # noqa: BLE001 - network-dependent
-            return None
+        except Exception as exc:  # noqa: BLE001 - network-dependent
+            return None, f"dataset-fetch-failed: {type(exc).__name__}: {exc}"
     if not val_dir.exists():
         # the zip may extract under a different top-level directory
         candidates = [
@@ -147,15 +173,32 @@ def try_fetch_and_evaluate(
             if p.is_dir() and (p / "TUM").is_dir()
         ]
         if not candidates:
-            return None
+            return None, "dataset-missing"
         val_dir = candidates[0]
     try:
-        return evaluate(weights, val_dir, limit=limit, batch_size=batch_size)
-    except Exception:  # noqa: BLE001 - best-effort validation
+        result = evaluate(
+            weights, val_dir, limit=limit, batch_size=batch_size, wire=wire
+        )
+    except Exception as exc:  # noqa: BLE001 - best-effort validation
         import traceback
 
         traceback.print_exc()
-        return None
+        return None, f"eval-failed: {type(exc).__name__}: {exc}"
+    return result, f"ok (n={result['n']}, wire={wire})"
+
+
+def try_fetch_and_evaluate(
+    limit: int | None = 2000,
+    batch_size: int = 128,
+    network_timeout: float = 5.0,
+    wire: str = "rgb",
+) -> dict | None:
+    """Back-compat wrapper: result only, no status string."""
+    result, _ = fetch_and_evaluate_with_status(
+        limit=limit, batch_size=batch_size,
+        network_timeout=network_timeout, wire=wire,
+    )
+    return result
 
 
 def main() -> int:
@@ -164,14 +207,21 @@ def main() -> int:
     parser.add_argument("--data", required=True)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument(
+        "--wire", choices=("rgb", "yuv420"), default="rgb",
+        help="engine transport to certify (yuv420 = the bench headline's)",
+    )
     args = parser.parse_args()
 
     try:
-        result = evaluate(args.weights, args.data, args.limit, args.batch_size)
+        result = evaluate(
+            args.weights, args.data, args.limit, args.batch_size,
+            wire=args.wire,
+        )
     except ValueError as exc:
         print(exc)
         return 2
-    print(f"Evaluated {result['n']} patches")
+    print(f"Evaluated {result['n']} patches (wire={result['wire']})")
     print(f"overall accuracy: {result['accuracy']:.4f}")
     print(f"throughput: {result['patches_per_sec']:.1f} patches/s")
     for name, acc in result["per_class"].items():

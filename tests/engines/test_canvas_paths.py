@@ -275,6 +275,24 @@ class TestRegionFeed:
         for key in ("decode", "wire", "dispatch-wall", "fetch"):
             assert key in seg_r.last_stage_summary
 
+    def test_yuv420_band_wire_close_to_rgb(self, setup, slide_path) -> None:
+        """Packed band wire (1.5 B/px) must agree with raw RGB bands to
+        within the chroma-subsample tolerance, on the same path."""
+        model, ioconfig = setup
+        rgb, seg_rgb = _run(model, ioconfig, slide_path, force_host=False)
+        yuv, seg_yuv = _run(model, ioconfig, slide_path, force_host=False,
+                            band_wire="yuv420")
+        assert seg_yuv.last_stage_summary["path"] == "device-canvas+region-feed"
+        assert "pack" in seg_yuv.last_stage_summary  # the packed path ran
+        assert "pack" not in seg_rgb.last_stage_summary
+        # wire bytes halve: stage items count bytes on the link
+        assert (seg_yuv.last_stage_summary["wire"]["items"]
+                < 0.6 * seg_rgb.last_stage_summary["wire"]["items"])
+        assert yuv.shape == rgb.shape
+        delta = np.abs(yuv - rgb)
+        assert delta.max() < 0.05  # probabilities; ≤2 LSB input error
+        assert delta.max() > 0  # lossy wire actually engaged
+
     def test_masked_grid_falls_back_to_patch_feed(self, setup, slide_path) -> None:
         model, ioconfig = setup
         seg = SemanticSegmentor(model, batch_size=8, num_loader_workers=0,

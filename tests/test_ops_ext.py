@@ -53,6 +53,40 @@ class TestYUVWire:
         with pytest.raises(ValueError, match="yuv420"):
             rgb_batch_to_yuv420(np.zeros((1, 30, 30, 3), np.uint8))
 
+    def test_band_pack_unpack_roundtrip(self) -> None:
+        """Single-image band codec: odd band shapes are edge-padded on
+        pack and sliced back on unpack, returning uint8 RGB."""
+        from tiatoolbox_tpu.ops.colorconv import (
+            rgb_image_to_yuv420,
+            unpack_yuv420_band,
+        )
+
+        img = synthetic_he_patch((113, 70), seed=3)  # (w, h): H%4!=0, W%2!=0
+        planes = rgb_image_to_yuv420(img)
+        assert planes.dtype == np.uint8
+        assert planes.shape == (72 + 36, 114)  # padded to 72x114
+        out = np.asarray(unpack_yuv420_band(jnp.asarray(planes), (70, 113)))
+        assert out.shape == (70, 113, 3)
+        assert out.dtype == np.uint8
+        assert np.abs(out.astype(np.float32) - img.astype(np.float32)).mean() < 4.0
+
+    def test_band_codec_matches_batch_codec(self) -> None:
+        """The band codec is the batch codec on one padded image."""
+        img = synthetic_he_patch((64, 64), seed=7)
+        from tiatoolbox_tpu.ops.colorconv import (
+            rgb_image_to_yuv420,
+            unpack_yuv420_band,
+        )
+
+        band_planes = rgb_image_to_yuv420(img)
+        batch_planes = rgb_batch_to_yuv420(img[None])[0]
+        np.testing.assert_array_equal(band_planes, batch_planes)
+        band_rgb = np.asarray(
+            unpack_yuv420_band(jnp.asarray(band_planes), (64, 64))
+        )
+        batch_rgb = np.asarray(yuv420_batch_to_rgb(jnp.asarray(batch_planes)[None]))[0]
+        assert np.abs(band_rgb - np.round(batch_rgb)).max() <= 1.0
+
 
 class TestGreyAndOD:
     def test_rgb2grey_matches_cv2(self) -> None:

@@ -77,3 +77,51 @@ def test_evaluate_end_to_end(synth_dataset, synth_weights) -> None:
 def test_evaluate_empty_dir_raises(tmp_path, synth_weights) -> None:
     with pytest.raises(ValueError, match="layout"):
         evaluate(synth_weights, tmp_path)
+
+
+def test_evaluate_yuv420_wire(synth_dataset, synth_weights) -> None:
+    """--wire yuv420 certifies the headline transport end to end."""
+    rgb = evaluate(synth_weights, synth_dataset, batch_size=8, wire="rgb")
+    yuv = evaluate(synth_weights, synth_dataset, batch_size=8, wire="yuv420")
+    assert yuv["wire"] == "yuv420"
+    assert yuv["n"] == rgb["n"] == 27
+    # same patches, near-identical confusion: the lossy wire may flip
+    # borderline labels but the accounting must close either way
+    assert yuv["confusion"].sum() == 27
+    with pytest.raises(ValueError, match="wire"):
+        evaluate(synth_weights, synth_dataset, wire="bgr")
+
+
+def test_fetch_status_no_network(monkeypatch) -> None:
+    """Failure provenance (VERDICT r4 item 7): offline reads no-network."""
+    import validate_kather
+
+    import tiatoolbox_tpu.utils.env_detection as env
+
+    monkeypatch.setattr(env, "has_network", lambda timeout=5.0: False)
+    result, status = validate_kather.fetch_and_evaluate_with_status()
+    assert result is None
+    assert status == "no-network"
+
+
+def test_fetch_status_weights_failed(monkeypatch) -> None:
+    """Connected-but-broken fetch is distinguishable from offline."""
+    import validate_kather
+
+    import tiatoolbox_tpu.models.architecture as arch
+    import tiatoolbox_tpu.utils.env_detection as env
+
+    monkeypatch.setattr(env, "has_network", lambda timeout=5.0: True)
+
+    def boom(name):
+        msg = "simulated 403"
+        raise RuntimeError(msg)
+
+    monkeypatch.setattr(arch, "fetch_pretrained_weights", boom)
+    result, status = validate_kather.fetch_and_evaluate_with_status()
+    assert result is None
+    assert status.startswith("weights-fetch-failed: RuntimeError")
+    monkeypatch.setattr(arch, "fetch_pretrained_weights", lambda name: None)
+    result, status = validate_kather.fetch_and_evaluate_with_status()
+    assert result is None
+    assert status == "weights-fetch-failed"

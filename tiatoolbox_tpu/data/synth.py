@@ -36,17 +36,25 @@ def synthetic_he_patch(
     width, height = size
     rng = np.random.default_rng(seed)
 
-    # Smooth random fields via heavy Gaussian blur of noise.
+    # Smooth random fields via cubic upsampling of coarse noise. All
+    # full-resolution math below runs in float32 and row blocks: the
+    # naive broadcast (density[..., None] * stains) materializes
+    # several H*W*3 float64 temporaries — >1 GB each at bench-slide
+    # sizes, which swap-thrashed gigapixel generation to ~170 s.
     def smooth_field(scale: int) -> np.ndarray:
-        small = rng.random((max(2, height // scale), max(2, width // scale)))
+        small = rng.random(
+            (max(2, height // scale), max(2, width // scale))
+        ).astype(np.float32)
         field = cv2.resize(small, (width, height), interpolation=cv2.INTER_CUBIC)
-        return np.clip(field, 0, 1)
+        return np.clip(field, 0, 1, out=field)
 
     tissue = smooth_field(32)
     tissue_mask = tissue > np.quantile(tissue, 1 - tissue_fraction)
     tissue_soft = cv2.GaussianBlur(tissue_mask.astype(np.float32), (31, 31), 0)
 
-    eosin_density = smooth_field(16) * tissue_soft * 0.9
+    eosin_density = smooth_field(16)
+    eosin_density *= tissue_soft
+    eosin_density *= 0.9
 
     # Nuclei: scattered gaussian dots inside the tissue.
     nuclei = np.zeros((height, width), np.float32)
@@ -59,13 +67,22 @@ def synthetic_he_patch(
             cv2.circle(nuclei, (int(x), int(y)), r, 1.0, -1)
     nuclei = cv2.GaussianBlur(nuclei, (5, 5), 0)
 
-    od = (
-        nuclei[..., None] * _HE_STAINS[0] * 1.0
-        + eosin_density[..., None] * _HE_STAINS[1] * 0.8
-    )
-    rgb = 255.0 * np.exp(-od)
-    noise = rng.normal(0, 2.0, rgb.shape)
-    return np.clip(rgb + noise, 0, 255).astype(np.uint8)
+    haem = _HE_STAINS[0].astype(np.float32)
+    eos = (_HE_STAINS[1] * 0.8).astype(np.float32)
+    out = np.empty((height, width, 3), np.uint8)
+    block = max(1, (32 << 20) // (width * 3 * 4))  # ~128 MB of f32 rows
+    for y0 in range(0, height, block):
+        y1 = min(y0 + block, height)
+        od = nuclei[y0:y1, :, None] * haem
+        od += eosin_density[y0:y1, :, None] * eos
+        np.negative(od, out=od)
+        rgb = np.exp(od, out=od)
+        rgb *= 255.0
+        # rng.normal draws the same stream blockwise as it would whole
+        rgb += rng.normal(0, 2.0, rgb.shape).astype(np.float32)
+        np.clip(rgb, 0, 255, out=rgb)
+        out[y0:y1] = rgb.astype(np.uint8)
+    return out
 
 
 def make_synthetic_slide(

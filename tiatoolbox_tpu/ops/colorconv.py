@@ -7,6 +7,8 @@ host/NumPy versions.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -70,6 +72,47 @@ def rgb_batch_to_yuv420(batch) -> "np.ndarray":
         out[i, h : h + quarter] = cb.reshape(quarter, w)
         out[i, h + quarter :] = cr.reshape(quarter, w)
     return out
+
+
+def rgb_image_to_yuv420(img) -> "np.ndarray":
+    """Pack one uint8 RGB [H, W, 3] image → uint8 planes [H'*3/2, W'].
+
+    Band-wire variant of :func:`rgb_batch_to_yuv420` for the region
+    feed: the image is edge-padded up to H%4==0 / W%2==0 (the pad rows
+    are sliced off again by :func:`unpack_yuv420_band`), packed with
+    the same full-range BT.601 constants and 2x2 chroma box filter.
+    """
+    import numpy as np
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    ph, pw = (-h) % 4, (-w) % 2
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return rgb_batch_to_yuv420(img[None])[0]
+
+
+def unpack_yuv420_band(planes, band_hw: tuple[int, int]):
+    """Device-side unpack of one packed band → uint8 RGB [h, w, 3].
+
+    ``planes`` is the device array staged by :func:`rgb_image_to_yuv420`
+    (possibly edge-padded); ``band_hw`` is the original (pre-pad) band
+    shape to slice back to. One jitted program per band shape; the
+    round-trip error is ≤2 LSB per channel (chroma subsample + rounding).
+    """
+    return _unpack_band_program(int(band_hw[0]), int(band_hw[1]))(planes)
+
+
+@functools.lru_cache(maxsize=32)
+def _unpack_band_program(band_h: int, band_w: int):
+    import jax
+
+    @jax.jit
+    def unpack(planes):
+        rgb = yuv420_batch_to_rgb(planes[None], dtype=jnp.float32)[0]
+        return jnp.round(rgb[:band_h, :band_w]).astype(jnp.uint8)
+
+    return unpack
 
 
 def yuv420_batch_to_rgb(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
