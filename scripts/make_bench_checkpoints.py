@@ -151,6 +151,12 @@ def _densify(variables: dict, eps: float = DENSIFY_EPS) -> None:
         leaf_noise(path, leaf)
 
 
+# Bump when the construction changes in a way that invalidates cached
+# copies. v2: the _densify noise floor (a v1 checkpoint cached on the
+# driver host times a DCE-gutted graph — the r04 MFU 0.62 artifact).
+CKPT_VERSION = "v2-dense"
+
+
 def ensure_hovernet_bench_checkpoint(
     home: str | Path | None = None, *, force: bool = False
 ) -> Path:
@@ -163,7 +169,11 @@ def ensure_hovernet_bench_checkpoint(
 
     models_dir = Path(home or rcParam["TIATOOLBOX_HOME"]) / "models"
     target = models_dir / "hovernet_fast-pannuke.npz"
-    if target.exists() and not force:
+    version_file = target.with_suffix(".npz.version")
+    cached_version = (
+        version_file.read_text().strip() if version_file.exists() else None
+    )
+    if target.exists() and cached_version == CKPT_VERSION and not force:
         return target
 
     import contextlib
@@ -205,6 +215,7 @@ def ensure_hovernet_bench_checkpoint(
         raise RuntimeError(msg)
     models_dir.mkdir(parents=True, exist_ok=True)
     save_flax_npz(variables, target)
+    version_file.write_text(CKPT_VERSION + "\n")
     print(
         f"wrote {target} (functional checkpoint; "
         f"foreground {float((np.asarray(np_p) > 0.5).mean()):.3f}, "
