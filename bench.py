@@ -214,10 +214,25 @@ def bench_patch_predictor() -> dict:
     # is logged with its byte count + busy window, so each timed run
     # reports the link bandwidth achieved DURING that run (the post-run
     # probe wanders ±30% on the tunneled relay; VERDICT r3 weak-#2).
+    # The yuv420 PACK happens here, before the timestamp, so the wire
+    # log times ONLY the host→HBM copy — r04 conflated cv2 pack CPU time
+    # with link time, overstating busy_frac and understating the in-run
+    # link rate (the stage_batch pack is a no-op on a pre-packed batch).
     wire_log = _WireLog()
+    pack_log = _WireLog()
     orig_stage = model.stage_batch
 
     def stage_logged(img):
+        if (
+            model.wire_format == "yuv420"
+            and getattr(img, "ndim", 0) == 4
+            and getattr(img, "dtype", None) == np.uint8
+        ):
+            from tiatoolbox_tpu.ops.colorconv import rgb_batch_to_yuv420
+
+            t0 = time.perf_counter()
+            img = rgb_batch_to_yuv420(img)
+            pack_log.add(img.nbytes, t0, time.perf_counter())
         t0 = time.perf_counter()
         out = orig_stage(img)
         wire_log.add(out.nbytes, t0, time.perf_counter())
@@ -226,10 +241,12 @@ def bench_patch_predictor() -> dict:
     model.stage_batch = stage_logged
 
     def run_once(
-        wire: str, threads: int = 4, inflight: int = 12
+        wire: str, threads: int = 4, inflight: int = 12, workers: int = 0
     ) -> tuple[float, int, dict, dict]:
         model.wire_format = wire
+        predictor.num_loader_workers = workers
         wire_log.clear()
+        pack_log.clear()
         t0 = time.perf_counter()
         out = predictor.run(
             [slide_path],
@@ -246,8 +263,12 @@ def bench_patch_predictor() -> dict:
         stats["busy_frac"] = (
             round(stats["busy_s"] / elapsed, 3) if elapsed > 0 else None
         )
+        pack = pack_log.stats()
+        if pack["busy_s"]:
+            stats["pack_busy_s"] = pack["busy_s"]
         stats["threads"] = threads
         stats["inflight"] = inflight
+        stats["workers"] = workers
         result = next(iter(out.values()))
         return elapsed, len(result["predictions"]), result, stats
 
@@ -278,17 +299,25 @@ def bench_patch_predictor() -> dict:
     results = {}
     n_patches = 0
 
-    def timed(wire: str, threads: int, inflight: int) -> float:
+    def timed(wire: str, threads: int, inflight: int, workers: int = 0) -> float:
         nonlocal n_patches
-        elapsed, n_patches, result, stats = run_once(wire, threads, inflight)
+        elapsed, n_patches, result, stats = run_once(
+            wire, threads, inflight, workers
+        )
         runs[wire].append({"pps": round(n_patches / elapsed, 1), **stats})
         results[wire] = result
         return n_patches / elapsed
 
     for _ in range(3):
         timed("rgb", 4, 12)
-    sweep_best, sweep_pps = (4, 12), 0.0
-    for cfg in ((4, 12), (6, 16), (8, 16), (6, 24)):
+    # sweep transfer threads / inflight window / loader workers (workers
+    # > 0 moves batch decode off the staging-submission thread — with 0,
+    # each batch's decode stalls new put submissions and idles the link)
+    sweep_best, sweep_pps = (4, 12, 0), 0.0
+    for cfg in (
+        (4, 12, 0), (6, 16, 0), (8, 16, 0), (6, 24, 0),
+        (4, 12, 2), (6, 16, 2), (8, 24, 4),
+    ):
         pps = timed("yuv420", *cfg)
         if pps > sweep_pps:
             sweep_best, sweep_pps = cfg, pps

@@ -263,7 +263,8 @@ class TestRegionFeed:
     def test_region_feed_matches_patch_feed(self, setup, slide_path) -> None:
         model, ioconfig = setup
         region, seg_r = _run(model, ioconfig, slide_path, force_host=False)
-        assert seg_r.last_stage_summary["path"] == "device-canvas+region-feed"
+        assert seg_r.last_stage_summary["path"].startswith(
+            "device-canvas+region-feed")
         patch, seg_p = _run(model, ioconfig, slide_path, force_host=False,
                             region_feed=False)
         assert seg_p.last_stage_summary["path"] == "device-canvas"
@@ -282,7 +283,8 @@ class TestRegionFeed:
         rgb, seg_rgb = _run(model, ioconfig, slide_path, force_host=False)
         yuv, seg_yuv = _run(model, ioconfig, slide_path, force_host=False,
                             band_wire="yuv420")
-        assert seg_yuv.last_stage_summary["path"] == "device-canvas+region-feed"
+        assert seg_yuv.last_stage_summary["path"].startswith(
+            "device-canvas+region-feed")
         assert "pack" in seg_yuv.last_stage_summary  # the packed path ran
         assert "pack" not in seg_rgb.last_stage_summary
         # wire bytes halve: stage items count bytes on the link
@@ -303,5 +305,6 @@ class TestRegionFeed:
             [slide_path], masks=[mask], patch_mode=False, ioconfig=ioconfig,
             auto_get_mask=False,
         )
-        assert seg.last_stage_summary["path"] != "device-canvas+region-feed"
+        assert not seg.last_stage_summary["path"].startswith(
+            "device-canvas+region-feed")
         assert np.asarray(next(iter(out.values()))["probabilities"]).ndim == 3

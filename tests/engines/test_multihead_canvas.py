@@ -123,11 +123,13 @@ class TestMultiheadDeviceCanvas:
         same instances as fetching raw hv + the host cv2 front-end."""
         out_energy, seg = _run(hovernet, ioconfig, slide_path, force_host=False)
         assert seg.last_stage_summary["path"].endswith("+device-energy")
-        # disable the transform: raw hv fetch + host front-end
+        # disable BOTH device front-ends (full-canvas energy transform
+        # and the banded narrow fetch): raw hv fetch + host front-end
         seg2 = MultiTaskSegmentor(hovernet, batch_size=4,
                                   num_loader_workers=0, verbose=False)
         hook = hovernet.transform_canvas_for_postproc
         hovernet.transform_canvas_for_postproc = lambda *a, **k: None
+        hovernet.banded_fetch_spec = lambda *a, **k: None
         try:
             out_raw = seg2.run(
                 [slide_path], patch_mode=False, ioconfig=ioconfig,
@@ -135,6 +137,7 @@ class TestMultiheadDeviceCanvas:
             )
         finally:
             hovernet.transform_canvas_for_postproc = hook
+            del hovernet.banded_fetch_spec  # restore the class hook
         out_raw = next(iter(out_raw.values()))
         assert not seg2.last_stage_summary["path"].endswith("+device-energy")
         assert len(out_energy["instances"]) == len(out_raw["instances"])
@@ -155,3 +158,55 @@ class TestMultiheadDeviceCanvas:
         assert len(out["instances"]) > 30
         types = {v["type"] for v in out["instances"].values()}
         assert types <= {0, 1}
+
+
+class TestBandedNarrowFetch:
+    def test_banded_path_engages_and_matches_unbanded(
+        self, hovernet, slide_path
+    ) -> None:
+        """The banded u8 drain (fg/tp thresholds computed on device per
+        row-block while later bands scatter) must yield exactly the
+        instances of the non-banded device-energy path."""
+        from tiatoolbox_tpu.models.engine.io_config import (
+            IOInstanceSegmentorConfig,
+        )
+
+        ioconfig = IOInstanceSegmentorConfig(
+            input_resolutions=[{"units": "mpp", "resolution": 0.25}],
+            output_resolutions=[{"units": "mpp", "resolution": 0.25}],
+            patch_input_shape=(256, 256),
+            patch_output_shape=(164, 164),
+            stride_shape=(128, 128),
+            margin=64,
+            tile_shape=(2048, 2048),
+            save_resolution={"units": "mpp", "resolution": 0.25},
+        )
+        banded, seg_b = _run(hovernet, ioconfig, slide_path, force_host=False)
+        assert seg_b.last_stage_summary["path"].endswith(
+            "+banded-u8+device-energy"
+        )
+        assert "fetch-banded" in seg_b.last_stage_summary
+        hovernet.banded_fetch_spec = lambda *a, **k: None
+        try:
+            plain, seg_p = _run(
+                hovernet, ioconfig, slide_path, force_host=False
+            )
+        finally:
+            del hovernet.banded_fetch_spec
+        assert seg_p.last_stage_summary["path"].endswith("+device-energy")
+        assert "banded" not in seg_p.last_stage_summary["path"]
+        assert len(banded["instances"]) == len(plain["instances"])
+        cents_a = sorted(
+            tuple(np.round(np.asarray(v["centroid"], float), 2))
+            for v in banded["instances"].values()
+        )
+        cents_b = sorted(
+            tuple(np.round(np.asarray(v["centroid"], float), 2))
+            for v in plain["instances"].values()
+        )
+        assert cents_a == cents_b
+        types_a = sorted(
+            int(v["type"]) for v in banded["instances"].values()
+        )
+        types_b = sorted(int(v["type"]) for v in plain["instances"].values())
+        assert types_a == types_b

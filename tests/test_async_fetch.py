@@ -97,3 +97,48 @@ def test_watermark_propagates_errors():
     wm._fail(RuntimeError("link died"))
     with pytest.raises(RuntimeError, match="link died"):
         wm.wait_rows(5)
+
+
+def test_block_drain_overlaps_and_completes():
+    """BlockDrain fetches the blocks a producer marks final, in row
+    order, and finish() returns the complete buffer; flush() dispatches
+    without waiting so consumers can gate on the watermark instead."""
+    from tiatoolbox_tpu.parallel.pipeline import BlockDrain
+
+    src = np.arange(100 * 8 * 2, dtype=np.float32).reshape(100, 8, 2)
+    calls = []
+
+    def block_fn(y0, bh):
+        calls.append((y0, bh))
+        return src[y0 : y0 + bh]
+
+    drain = BlockDrain(
+        block_fn, n_rows=100, out_shape=(100, 8, 2), out_dtype=np.float32,
+        block_h=32,
+    )
+    drain.advance(40)  # only the first 32-row block is fully final
+    drain.watermark.wait_rows(32)
+    assert calls == [(0, 32)]
+    np.testing.assert_array_equal(drain.buf[:32], src[:32])
+    drain.advance(100)  # blocks 1..2 (+ the 4-row tail)
+    out = drain.finish()
+    assert calls == [(0, 32), (32, 32), (64, 32), (96, 4)]
+    np.testing.assert_array_equal(out, src)
+    # at most two distinct block heights (body + tail): jit-per-height
+    assert len({bh for _, bh in calls}) <= 2
+
+
+def test_block_drain_flush_then_view_gates():
+    """flush() dispatches every remaining block without waiting for the
+    copies; a LazyRowsView over the buffer gates on the watermark."""
+    from tiatoolbox_tpu.parallel.pipeline import BlockDrain, LazyRowsView
+
+    src = np.random.rand(64, 4, 3).astype(np.float32)
+    drain = BlockDrain(
+        lambda y0, bh: src[y0 : y0 + bh],
+        64, (64, 4, 3), np.float32, block_h=16, n_threads=2,
+    )
+    drain.flush()
+    view = LazyRowsView(drain.buf, drain.watermark, slice(0, 1))
+    np.testing.assert_array_equal(view[0:16], src[:16, :, 0:1])
+    np.testing.assert_array_equal(np.asarray(view), src[..., 0:1])

@@ -437,14 +437,20 @@ class HoVerNet(ModelABC):
         (:mod:`tiatoolbox_tpu.ops.hv_energy`); only the sequential
         label/fill/flood back-half runs here.
         """
-        blb_raw = np_map[..., 0]
+        blb_raw = np.asarray(np_map)[..., 0]
         sc = _proc_scratch(blb_raw.shape)
         fg = np.greater_equal(blb_raw, 0.5, out=sc["bool_a"])
         blb = sc["i32_a"]
         ndimage.label(fg, output=blb)
         blb = _remove_small_objects(blb, min_size=10, in_place=True)
         np.minimum(blb, 1, out=blb)
-        overall32 = np.ascontiguousarray(energy_map, dtype=np.float32)
+        # materialize the energy map ONLY NOW: when it arrives through
+        # an async-drain view (LazyRowsView), the label/cleanup above
+        # runs while the energy channel is still crossing the link
+        energy = np.asarray(energy_map)
+        if energy.ndim == 3:
+            energy = energy[..., 0]
+        overall32 = np.ascontiguousarray(energy, dtype=np.float32)
         return HoVerNet._proc_np_overall(
             blb, overall32, sc, scale_factor=scale_factor
         )
@@ -509,7 +515,6 @@ class HoVerNet(ModelABC):
         from scipy import ndimage
 
         pred_inst = np.asarray(pred_inst)
-        inst_info_dict = {}
         offset = np.asarray(offset)
         max_label = int(pred_inst.max()) if pred_inst.size else 0
         slices = (
@@ -517,52 +522,42 @@ class HoVerNet(ModelABC):
             if max_label
             else []
         )
-        for idx, slc in enumerate(slices):
-            if slc is None:
-                continue
+
+        def one_instance(job):
+            idx, slc = job
             inst_id = idx + 1
             rows, cols = slc
             inst_box = np.array([cols.start, rows.start, cols.stop, rows.stop])
             inst_box_tl = inst_box[:2] + offset
-            inst_map = (pred_inst[slc] == inst_id).astype(np.uint8)
+            inst_mask = pred_inst[slc] == inst_id
+            inst_map = inst_mask.astype(np.uint8)
             inst_moment = cv2.moments(inst_map)
             contours = cv2.findContours(
                 inst_map, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
             )
             inst_contour = np.squeeze(contours[0][0].astype(np.int32))
             if inst_contour.ndim != 2 or inst_contour.shape[0] < 3:
-                continue
+                return None
             if inst_moment["m00"] == 0:
-                continue
+                return None
             inst_centroid = np.array(
                 [
                     inst_moment["m10"] / inst_moment["m00"],
                     inst_moment["m01"] / inst_moment["m00"],
                 ]
             )
-            inst_contour = inst_contour + inst_box_tl[None]
-            inst_centroid = inst_centroid + inst_box_tl
-            inst_box = inst_box.copy()
-            inst_box[:2] += offset
-            inst_box[2:] += offset
-            inst_info_dict[int(inst_id)] = {
-                "box": inst_box,
-                "centroid": inst_centroid,
-                "contours": inst_contour,
+            info = {
+                "box": inst_box + np.concatenate([offset, offset]),
+                "centroid": inst_centroid + inst_box_tl,
+                "contours": inst_contour + inst_box_tl[None],
                 "prob": None,
                 "type": None,
             }
-
-        if pred_type is not None:
-            for inst_id, info in inst_info_dict.items():
-                box = info["box"].copy()
-                box[:2] -= offset
-                box[2:] -= offset
-                c_min, r_min, c_max, r_max = box
-                inst_map_crop = pred_inst[r_min:r_max, c_min:c_max] == inst_id
-                inst_type_crop = pred_type[r_min:r_max, c_min:c_max]
-                inst_type_vals = inst_type_crop[inst_map_crop]
-                type_list, type_pixels = np.unique(inst_type_vals, return_counts=True)
+            if pred_type is not None:
+                inst_type_vals = pred_type[slc][inst_mask]
+                type_list, type_pixels = np.unique(
+                    inst_type_vals, return_counts=True
+                )
                 pairs = sorted(
                     zip(type_list, type_pixels), key=lambda x: x[1], reverse=True
                 )
@@ -570,10 +565,32 @@ class HoVerNet(ModelABC):
                 if inst_type == 0 and len(pairs) > 1:
                     inst_type = pairs[1][0]
                 type_dict = {v[0]: v[1] for v in pairs}
-                type_prob = type_dict[inst_type] / (np.sum(inst_map_crop) + 1.0e-6)
                 info["type"] = int(inst_type)
-                info["prob"] = float(type_prob)
-        return inst_info_dict
+                info["prob"] = float(
+                    type_dict[inst_type] / (np.sum(inst_mask) + 1.0e-6)
+                )
+            return int(inst_id), info
+
+        jobs = [(i, s) for i, s in enumerate(slices) if s is not None]
+        # cv2.moments/findContours and the numpy crops release the GIL;
+        # per-instance work parallelizes across a small pool (reference
+        # scans the FULL map per instance — ``hovernet.py:619-750`` —
+        # this is one find_objects pass + cropped per-instance work)
+        if len(jobs) >= 256:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_workers = max(2, min(8, (os.cpu_count() or 2) - 1))
+            with ThreadPoolExecutor(n_workers) as pool:
+                results = list(
+                    pool.map(
+                        one_instance, jobs,
+                        chunksize=max(16, len(jobs) // (4 * n_workers)),
+                    )
+                )
+        else:
+            results = [one_instance(j) for j in jobs]
+        return dict(r for r in results if r is not None)
 
     def transform_canvas_for_postproc(self, normalized_canvas, head_channels):
         """Device-side watershed front-end on the stitched canvas.
@@ -598,6 +615,53 @@ class HoVerNet(ModelABC):
         out = jnp.concatenate([np_ch, energy, rest], axis=-1)
         return out, [1, 1, *head_channels[2:]]
 
+    # postproc materializes its own inputs in label-before-energy order,
+    # so engines may hand it still-draining LazyRowsViews (the host
+    # label/cleanup work then overlaps the energy channel's fetch)
+    postproc_accepts_views = True
+
+    # -- banded narrow fetch (engine hooks) --------------------------------------
+    #
+    # The watershed back-half consumes the stitched canvas through three
+    # inputs with very different wire needs:
+    #   - foreground  = (np >= 0.5)       : pointwise  -> uint8, banded
+    #   - type map    = round(tp)          : pointwise  -> uint8, banded
+    #   - energy      = minmax-normalized Sobel landscape: GLOBAL minmax
+    #     over the full canvas -> must wait for the last scatter.
+    # The pointwise channels drain per row-block WHILE later bands are
+    # still being scattered (engine ``BlockDrain``); only the 2 B/px f16
+    # energy crosses the link after the loop. 3 x f16 (6 B/px) becomes
+    # 2 x u8 banded + 1 x f16 post-loop (2 B/px on the critical path).
+
+    def banded_fetch_spec(self, head_channels) -> tuple | None:
+        """(n_uint8_block_channels, n_final_channels) when the banded
+        narrow fetch applies to this head layout, else None."""
+        if list(head_channels) == [1, 2, 1]:
+            return (2, 1)
+        if list(head_channels) == [1, 2]:
+            return (1, 1)
+        return None
+
+    def block_fetch_transform(self, normalized_rows, head_channels):
+        """Pointwise fetch channels of a count-normalized row block:
+        ``[fg := np >= 0.5 (, tp := round(tp))]`` as uint8. Traceable
+        (called inside the engine's per-block jit program)."""
+        import jax.numpy as jnp
+
+        fg = (normalized_rows[..., 0] >= 0.5).astype(jnp.uint8)
+        chans = [fg]
+        if len(head_channels) == 3:
+            chans.append(jnp.round(normalized_rows[..., 3]).astype(jnp.uint8))
+        return jnp.stack(chans, axis=-1)
+
+    def final_fetch_transform(self, normalized_canvas, head_channels):  # noqa: ARG002
+        """Global-reduction fetch channel: the watershed energy
+        landscape (needs the full-canvas minmax — reference
+        ``hovernet.py:530-560`` normalizes over the whole map)."""
+        from tiatoolbox_tpu.ops.hv_energy import hv_energy
+
+        return hv_energy(normalized_canvas[..., 1:3])[..., None]
+
     def postproc(self, raw_maps: list, offset: tuple[int, int] = (0, 0)) -> tuple:
         """[np, hv|energy(, tp)] maps → ({instance seg result},) tuple.
 
@@ -608,20 +672,25 @@ class HoVerNet(ModelABC):
         """
         if len(raw_maps) == 3:
             np_map, hv_map, tp_map = raw_maps
-            tp_map = np.around(np.asarray(tp_map)).astype("uint8")
+            tp_map = np.asarray(tp_map)
+            if tp_map.dtype != np.uint8:  # banded drain rounds on device
+                tp_map = np.around(tp_map).astype("uint8")
         else:
             tp_map = None
             np_map, hv_map = raw_maps
         np_map = np.asarray(np_map)
-        hv_map = np.asarray(hv_map)
+        # hv_map stays UNMATERIALIZED here: a 1-channel map is the
+        # device-precomputed energy landscape, possibly still draining
+        # asynchronously — _proc_np_energy touches it only after the
+        # host label/cleanup work that needs no energy.
 
         import time as _time
 
         t0 = _time.perf_counter()
         if hv_map.ndim == 3 and hv_map.shape[-1] == 1:
-            pred_inst = HoVerNet._proc_np_energy(np_map, hv_map[..., 0])
+            pred_inst = HoVerNet._proc_np_energy(np_map, hv_map)
         else:
-            pred_inst = HoVerNet._proc_np_hv(np_map, hv_map)
+            pred_inst = HoVerNet._proc_np_hv(np_map, np.asarray(hv_map))
         t1 = _time.perf_counter()
         info_dict = HoVerNet.get_instance_info(pred_inst, tp_map, offset)
         t2 = _time.perf_counter()

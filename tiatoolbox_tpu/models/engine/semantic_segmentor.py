@@ -330,8 +330,8 @@ class SemanticSegmentor(EngineABC):
         )
 
     def _iter_band_batches(self, dataset, plan, timer, batch_size: int):
-        """Yield ``(ds_indices, device_patches, n_valid)`` per batch
-        from a once-shipped band feed.
+        """Yield ``(ds_indices, device_patches, n_valid, band_index)``
+        per batch from a once-shipped band feed.
 
         Host threads decode+stage band i+1/i+2 while the device works
         on band i (deque window of 3); each unique slide row crosses
@@ -381,6 +381,7 @@ class SemanticSegmentor(EngineABC):
             total=len(bands),
         ))
         with ThreadPoolExecutor(2) as pool:
+            band_i = 0
             while bi < len(bands) or inflight:
                 while bi < len(bands) and len(inflight) < 3:
                     inflight.append(
@@ -398,18 +399,84 @@ class SemanticSegmentor(EngineABC):
                     starts = np.zeros((batch_size, 2), np.int32)
                     starts[:n_valid] = band.starts_local[c0 : c0 + batch_size]
                     patches = extract_patches(dev, starts, patch_hw)
-                    yield idx, patches, n_valid
+                    yield idx, patches, n_valid, band_i
                 del dev
+                band_i += 1
                 next(progress_iter, None)
+
+    @staticmethod
+    def _band_final_rows(plan, start_ys: np.ndarray, h: int) -> np.ndarray:
+        """Canvas rows final after each band: rows above the earliest
+        scatter start of any LATER band can never be touched again
+        (patches only extend downward from their start)."""
+        n_bands = len(plan.bands)
+        band_min = np.full(n_bands + 1, h, dtype=np.int64)
+        for i, band in enumerate(plan.bands):
+            ys = start_ys[np.asarray(band.ds_indices)]
+            band_min[i] = int(ys.min()) if len(ys) else h
+        # suffix min over bands AFTER i
+        final = np.empty(n_bands, dtype=np.int64)
+        running = h
+        for i in range(n_bands - 1, -1, -1):
+            final[i] = running
+            running = min(running, band_min[i])
+        return np.clip(final, 0, h)
+
+    def _make_normalized_block_fn(
+        self, canvas, w: int, out_dtype=None, transform=None
+    ):
+        """``(y0, block_h) -> device rows`` of the count-normalized,
+        width-cropped canvas, optionally mapped through a (traceable)
+        pointwise ``transform`` and cast; one jit program per block_h
+        (at most two: body + tail)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        programs: dict = {}
+
+        def block_fn(y0: int, block_h: int):
+            prog = programs.get(block_h)
+            if prog is None:
+                @jax.jit
+                def prog(c, n, y):
+                    cs = lax.dynamic_slice(
+                        c, (y, 0, 0), (block_h, c.shape[1], c.shape[2])
+                    )
+                    ns = lax.dynamic_slice(
+                        n, (y, 0, 0), (block_h, n.shape[1], 1)
+                    )
+                    out = (cs / jnp.maximum(ns, 1.0))[:, :w]
+                    if transform is not None:
+                        out = transform(out)
+                    if out_dtype is not None:
+                        out = out.astype(out_dtype)
+                    return out
+
+                programs[block_h] = prog
+            return prog(canvas.canvas, canvas.count, np.int32(y0))
+
+        return block_fn
 
     def _infer_wsi_device_canvas_region(
         self, dataloader: BatchLoader, canvas_wh, n_channels: int, coord_scale,
         probe, plan,
     ) -> dict:
-        """Device-canvas stitch fed by once-shipped slide bands."""
+        """Device-canvas stitch fed by once-shipped slide bands.
+
+        The canvas drains to the host in row blocks WHILE later bands
+        are still being scattered (rows above the next band's earliest
+        scatter are final — count-normalization is pointwise, so no
+        global term blocks an early fetch). On tunneled links this
+        hides the whole-canvas fetch behind the compute loop instead of
+        serializing after it.
+        """
         import time as _time
 
+        import jax.numpy as jnp
+
         from tiatoolbox_tpu.ops.canvas import DeviceCanvas
+        from tiatoolbox_tpu.parallel.pipeline import BlockDrain
         from tiatoolbox_tpu.utils.profiling import StageTimer
 
         dataset = dataloader.dataset
@@ -424,12 +491,28 @@ class SemanticSegmentor(EngineABC):
         canvas = DeviceCanvas((pad_h, pad_w), n_channels)
         timer = StageTimer()
 
+        h, w = int(canvas_wh[1]), int(canvas_wh[0])
+        f16 = str(self.canvas_wire_dtype) in ("float16", "f16", "fp16")
+        drain = BlockDrain(
+            self._make_normalized_block_fn(
+                canvas, w, jnp.float16 if f16 else jnp.float32
+            ),
+            n_rows=h,
+            out_shape=(h, w, n_channels),
+            out_dtype=np.float32,
+        )
+        final_rows = self._band_final_rows(plan, starts_canvas[:, 1], h)
+
         batch_size = self.batch_size
         t_loop = _time.perf_counter()
         bands = plan.bands
-        for idx, patches, n_valid in self._iter_band_batches(
+        cur_band = 0
+        for idx, patches, n_valid, band_i in self._iter_band_batches(
             dataset, plan, timer, batch_size
         ):
+            if band_i != cur_band:
+                drain.advance(int(final_rows[cur_band]))
+                cur_band = band_i
             probs = self.model.infer_batch_device(
                 self.model, patches, self.device
             )
@@ -439,13 +522,13 @@ class SemanticSegmentor(EngineABC):
             canvas.add(probs, positions, valid)
         timer.add("dispatch-wall", _time.perf_counter() - t_loop)
 
-        h, w = int(canvas_wh[1]), int(canvas_wh[0])
         with timer.stage("fetch", items=h * w * n_channels):
-            fetched = self._fetch_canvas(canvas, h, w)
+            fetched = drain.finish()
         summary = timer.summary()
-        summary["path"] = "device-canvas+region-feed"
+        summary["path"] = "device-canvas+region-feed+banded-drain"
         summary["wire_pixels"] = plan.wire_pixels
         summary["n_bands"] = len(bands)
+        summary["fetch"]["bytes_hidden"] = drain.bytes_hidden
         self.last_stage_summary = summary
         return {"probabilities": fetched}
 

@@ -293,6 +293,86 @@ def fetch_chunked_async(
     return out, watermark
 
 
+class BlockDrain:
+    """Row-block device→host drain that overlaps a producing loop.
+
+    Whole-canvas fetches serialize behind the compute loop; on tunneled
+    links (~17-40 MB/s down) that is the binding term for segmentor
+    engines. Canvas rows become FINAL in top-to-bottom band order during
+    stitching, so each fixed-height block can be computed on device
+    (``block_fn`` — normalize + any pointwise fetch transform) and
+    fetched on a background thread while later bands are still being
+    scattered. The global-reduction channels (e.g. HoVerNet's
+    minmax-normalized energy) cannot ride this; they fetch post-loop.
+
+    Args:
+        block_fn: ``(y0: int, block_h: int) -> device array
+            [block_h, W, C]``; dispatches asynchronously. Called with at
+            most two distinct ``block_h`` values (body + tail), so a
+            jit-per-height implementation compiles at most twice.
+        n_rows: total rows to drain.
+        out_shape: host buffer shape ``(n_rows, W, C)``.
+        out_dtype: host buffer dtype (device→host copy converts).
+        block_h: rows per block.
+        n_threads: background fetch threads.
+    """
+
+    def __init__(
+        self, block_fn, n_rows: int, out_shape, out_dtype,
+        block_h: int = 256, n_threads: int = 4,
+    ) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._block_fn = block_fn
+        self._n_rows = int(n_rows)
+        self._slices = [
+            slice(i, min(i + block_h, self._n_rows))
+            for i in range(0, self._n_rows, block_h)
+        ]
+        self.buf = np.empty(out_shape, out_dtype)
+        self.watermark = RowWatermark(self._slices, self._n_rows)
+        self._next = 0
+        self._pool = ThreadPoolExecutor(n_threads)
+        self.bytes_hidden = 0  # bytes dispatched before finish()
+
+    def advance(self, final_rows: int) -> None:
+        """Dispatch every not-yet-drained block fully inside
+        ``[0, final_rows)`` (rows that no future scatter will touch)."""
+        while (
+            self._next < len(self._slices)
+            and self._slices[self._next].stop <= final_rows
+        ):
+            idx = self._next
+            self._next += 1
+            s = self._slices[idx]
+            dev = self._block_fn(s.start, s.stop - s.start)
+            self._pool.submit(self._copy, idx, dev)
+
+    def _copy(self, idx: int, dev) -> None:
+        try:
+            self.buf[self._slices[idx]] = np.asarray(dev)
+        except BaseException as exc:  # noqa: BLE001 - surfaced to waiters
+            self.watermark._fail(exc)
+            return
+        self.watermark._mark(idx)
+
+    def flush(self) -> None:
+        """Dispatch all remaining blocks without waiting (consumers can
+        gate on ``watermark`` / a LazyRowsView instead)."""
+        self.bytes_hidden = self.watermark.rows_ready * (
+            self.buf.nbytes // max(self._n_rows, 1)
+        )
+        self.advance(self._n_rows)
+        self._pool.shutdown(wait=False)
+
+    def finish(self) -> np.ndarray:
+        """Dispatch any remaining blocks, wait for all copies, return
+        the (now complete) host buffer."""
+        self.flush()
+        self.watermark.wait_all()
+        return self.buf
+
+
 class LazyRowsView:
     """Read-only channel-slice view over an async-filling buffer.
 
