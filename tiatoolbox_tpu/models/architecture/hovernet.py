@@ -482,8 +482,7 @@ class HoVerNet(ModelABC):
         thresh = np.greater_equal(overall, 0.4, out=sc["bool_a"])
         marker = np.subtract(blb, thresh, out=sc["i32_b"])
         np.maximum(marker, 0, out=marker)
-        marker_u8 = sc["u8_a"]
-        ndimage.binary_fill_holes(marker, output=marker_u8)
+        marker_u8 = _fill_holes(marker, sc["u8_a"])
         kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
         marker_u8 = cv2.morphologyEx(marker_u8, cv2.MORPH_OPEN, kernel, sc["u8_b"])
         ndimage.label(marker_u8, output=marker)
@@ -523,27 +522,48 @@ class HoVerNet(ModelABC):
             else []
         )
 
+        # ONE global pass replaces the per-instance moments + type-crop
+        # scans: centroids are exact coordinate means (== cv2.moments
+        # m10/m00 on the cropped mask: same integer sums, same float64
+        # division) and per-(label, type) pixel counts come from a 2-D
+        # bincount — identical values to the per-instance np.unique.
+        rows_fg, cols_fg = np.nonzero(pred_inst)
+        labels_fg = pred_inst[rows_fg, cols_fg].astype(np.int64)
+        areas = np.bincount(labels_fg, minlength=max_label + 1)
+        sum_x = np.bincount(labels_fg, weights=cols_fg, minlength=max_label + 1)
+        sum_y = np.bincount(labels_fg, weights=rows_fg, minlength=max_label + 1)
+        type_counts = None
+        if pred_type is not None:
+            pt = np.asarray(pred_type)
+            if pt.ndim == 3:
+                pt = pt[..., 0]
+            tvals = pt[rows_fg, cols_fg].astype(np.int64)
+            n_types = int(tvals.max()) + 1 if len(tvals) else 1
+            type_counts = np.bincount(
+                labels_fg * n_types + tvals,
+                minlength=(max_label + 1) * n_types,
+            ).reshape(max_label + 1, n_types)
+
         def one_instance(job):
             idx, slc = job
             inst_id = idx + 1
             rows, cols = slc
             inst_box = np.array([cols.start, rows.start, cols.stop, rows.stop])
             inst_box_tl = inst_box[:2] + offset
-            inst_mask = pred_inst[slc] == inst_id
-            inst_map = inst_mask.astype(np.uint8)
-            inst_moment = cv2.moments(inst_map)
+            area = areas[inst_id]
+            if area == 0:  # matches the m00 == 0 skip
+                return None
+            inst_map = (pred_inst[slc] == inst_id).astype(np.uint8)
             contours = cv2.findContours(
                 inst_map, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
             )
             inst_contour = np.squeeze(contours[0][0].astype(np.int32))
             if inst_contour.ndim != 2 or inst_contour.shape[0] < 3:
                 return None
-            if inst_moment["m00"] == 0:
-                return None
             inst_centroid = np.array(
                 [
-                    inst_moment["m10"] / inst_moment["m00"],
-                    inst_moment["m01"] / inst_moment["m00"],
+                    sum_x[inst_id] / area - inst_box[0],
+                    sum_y[inst_id] / area - inst_box[1],
                 ]
             )
             info = {
@@ -553,22 +573,17 @@ class HoVerNet(ModelABC):
                 "prob": None,
                 "type": None,
             }
-            if pred_type is not None:
-                inst_type_vals = pred_type[slc][inst_mask]
-                type_list, type_pixels = np.unique(
-                    inst_type_vals, return_counts=True
-                )
-                pairs = sorted(
-                    zip(type_list, type_pixels), key=lambda x: x[1], reverse=True
-                )
-                inst_type = pairs[0][0]
-                if inst_type == 0 and len(pairs) > 1:
-                    inst_type = pairs[1][0]
-                type_dict = {v[0]: v[1] for v in pairs}
-                info["type"] = int(inst_type)
-                info["prob"] = float(
-                    type_dict[inst_type] / (np.sum(inst_mask) + 1.0e-6)
-                )
+            if type_counts is not None:
+                counts = type_counts[inst_id]
+                # reference tie-break: sorted desc by count, stable over
+                # ascending type → max count, smallest type on ties
+                inst_type = int(np.argmax(counts))
+                if inst_type == 0 and (counts > 0).sum() > 1:
+                    rest = counts.copy()
+                    rest[0] = -1
+                    inst_type = int(np.argmax(rest))
+                info["type"] = inst_type
+                info["prob"] = float(counts[inst_type] / (area + 1.0e-6))
             return int(inst_id), info
 
         jobs = [(i, s) for i, s in enumerate(slices) if s is not None]
@@ -796,6 +811,24 @@ def _proc_scratch(shape: tuple) -> _Scratch:
         _SCRATCH.shape = shape
         _SCRATCH.bufs = {}
     return _SCRATCH
+
+
+def _fill_holes(marker: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """Exact ``ndimage.binary_fill_holes`` (default cross structure) as
+    one cv2.floodFill pass: flood the zero background inward from a
+    padded border (4-connected); zero pixels the flood cannot reach are
+    enclosed holes. Identical set semantics to scipy's iterative
+    binary-dilation implementation — both mark exactly the zero pixels
+    4-connected to the outside — at ~1/20 the cost on a whole-slide
+    marker map (scipy: ~100 ms on 3 MPix; flood: one O(N) pass).
+    Reference op: ``hovernet.py:575`` (binary_fill_holes on the marker).
+    """
+    h, w = marker.shape
+    tmp = np.zeros((h + 2, w + 2), np.uint8)
+    tmp[1:-1, 1:-1] = marker != 0
+    cv2.floodFill(tmp, None, (0, 0), 2)
+    np.not_equal(tmp[1:-1, 1:-1], 2, out=out.view(bool))
+    return out
 
 
 def _remove_small_objects(

@@ -89,9 +89,9 @@ class MultiTaskSegmentor(SemanticSegmentor):
         )
         coord_scale = np.array(canvas_wh, dtype=float) / read_wh
 
-        # Probe head count/channels with one patch.
-        sample = dataset[0]["image"]
-        probe = self.model.infer_batch(self.model, sample[None], self.device)
+        # Probe head count/channels with one patch (cached per module +
+        # patch shape — see SemanticSegmentor._probe_output).
+        probe = self._probe_output(dataset)
         if not isinstance(probe, (tuple, list)):
             probe = (probe,)
         n_heads = len(probe)
