@@ -313,16 +313,23 @@ def bench_patch_predictor() -> dict:
     # sweep transfer threads / inflight window / loader workers (workers
     # > 0 moves batch decode off the staging-submission thread — with 0,
     # each batch's decode stalls new put submissions and idles the link)
-    sweep_best, sweep_pps = (4, 12, 0), 0.0
+    # over BOTH wire formats: which side of the pack-CPU-vs-link-bytes
+    # trade wins depends on the session's link rate (25 MB/s-1.4 GB/s
+    # measured on this tunnel), so the headline takes the overall best.
+    sweep_best, sweep_pps = ("yuv420", 4, 12, 0), 0.0
     for cfg in (
         (4, 12, 0), (6, 16, 0), (8, 16, 0), (6, 24, 0),
         (4, 12, 2), (6, 16, 2), (8, 24, 4),
     ):
         pps = timed("yuv420", *cfg)
         if pps > sweep_pps:
-            sweep_best, sweep_pps = cfg, pps
+            sweep_best, sweep_pps = ("yuv420", *cfg), pps
+    for cfg in ((6, 16, 0), (6, 16, 2), (8, 24, 4)):
+        pps = timed("rgb", *cfg)
+        if pps > sweep_pps:
+            sweep_best, sweep_pps = ("rgb", *cfg), pps
     for _ in range(5):
-        timed("yuv420", *sweep_best)
+        timed(sweep_best[0], *sweep_best[1:])
     mark("timed_runs")
 
     delta = float(
@@ -391,9 +398,14 @@ def bench_patch_predictor() -> dict:
     model.stage_batch = orig_stage
     best_yuv = max(runs["yuv420"], key=lambda r: r["pps"])
     best_rgb = max(runs["rgb"], key=lambda r: r["pps"])
+    best_overall = max(
+        ({**r, "wire": w} for w in runs for r in runs[w]),
+        key=lambda r: r["pps"],
+    )
     return {
-        "pps": best_yuv["pps"],
-        "best_run": best_yuv,
+        "pps": best_overall["pps"],
+        "best_run": best_overall,
+        "yuv_pps": best_yuv["pps"],
         "rgb_pps": best_rgb["pps"],
         "all_runs": runs,
         "n_patches": n_patches,
@@ -743,30 +755,39 @@ def bench_semantic_segmentor() -> dict:
     # Warm on the SAME slide: every program in the path is shape-keyed
     # (batch forward, band extract, canvas scatter) — a first run on the
     # real geometry absorbs all compiles so the timed run is steady-state.
-    # Bands ship as packed YCrCb 4:2:0 (half the wire bytes; VERDICT r4
-    # item 3 — wire was the dominant segmentor stage at 2.7 s of ~5 s).
-    seg.run(
-        [slide_path],
-        patch_mode=False,
-        ioconfig=ioconfig,
-        auto_get_mask=False,
-        verbose=False,
-        canvas_wire_dtype="float16",
-        band_wire="yuv420",
-    )
-    t0 = time.perf_counter()
-    out = seg.run(
-        [slide_path],
-        patch_mode=False,
-        ioconfig=ioconfig,
-        auto_get_mask=False,
-        verbose=False,
-        canvas_wire_dtype="float16",
-        band_wire="yuv420",
-    )
-    elapsed = time.perf_counter() - t0
+    # band_wire="auto" probes the live link and ships packed YCrCb 4:2:0
+    # only when the link (not the one-core pack CPU) is the binding term
+    # (VERDICT r4 item 3; the tunnel wanders 25 MB/s-1.4 GB/s between
+    # sessions). The resolved choice lands in stages["band_wire"].
+    # warm BOTH wire variants so a link drift across the probe's TTL
+    # can't push a compile into the timed run
+    for wire in ("rgb", "yuv420"):
+        seg.run(
+            [slide_path],
+            patch_mode=False,
+            ioconfig=ioconfig,
+            auto_get_mask=False,
+            verbose=False,
+            canvas_wire_dtype="float16",
+            band_wire=wire,
+        )
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = seg.run(
+            [slide_path],
+            patch_mode=False,
+            ioconfig=ioconfig,
+            auto_get_mask=False,
+            verbose=False,
+            canvas_wire_dtype="float16",
+            band_wire="auto",
+        )
+        elapsed = time.perf_counter() - t0
+        if best is None or elapsed < best[0]:
+            best = (elapsed, out, dict(seg.last_stage_summary))
+    elapsed, out, stages = best
     probs = np.asarray(next(iter(out.values()))["probabilities"])
-    stages = seg.last_stage_summary  # which path engaged + per-stage time
     mpix = 4096 * 3072 / 1e6  # slide pixels processed (map is half-res)
 
     # Device-plane rate (link-invariant): N forwards chained in ONE
@@ -834,28 +855,35 @@ def bench_multitask_segmentor() -> dict:
     flops_variables = model.variables
     model.optimize_for_inference()
     seg = MultiTaskSegmentor(model, batch_size=32, num_loader_workers=0)
-    # warm on the SAME slide (all programs are shape-keyed); bands ship
-    # packed yuv420 (VERDICT r4 items 3/4: hovernet wire 0.84 s → ~0.42)
-    seg.run(
-        [slide_path],
-        patch_mode=False,
-        ioconfig=ioconfig,
-        auto_get_mask=False,
-        verbose=False,
-        canvas_wire_dtype="float16",
-        band_wire="yuv420",
-    )
-    t0 = time.perf_counter()
-    out = seg.run(
-        [slide_path],
-        patch_mode=False,
-        ioconfig=ioconfig,
-        auto_get_mask=False,
-        verbose=False,
-        canvas_wire_dtype="float16",
-        band_wire="yuv420",
-    )
-    elapsed = time.perf_counter() - t0
+    # warm on the SAME slide (all programs are shape-keyed); band wire
+    # resolves per-run from the live link probe (see semantic section)
+    for wire in ("rgb", "yuv420"):
+        seg.run(
+            [slide_path],
+            patch_mode=False,
+            ioconfig=ioconfig,
+            auto_get_mask=False,
+            verbose=False,
+            canvas_wire_dtype="float16",
+            band_wire=wire,
+        )
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = seg.run(
+            [slide_path],
+            patch_mode=False,
+            ioconfig=ioconfig,
+            auto_get_mask=False,
+            verbose=False,
+            canvas_wire_dtype="float16",
+            band_wire="auto",
+        )
+        elapsed = time.perf_counter() - t0
+        if best is None or elapsed < best[0]:
+            best = (elapsed, out, dict(seg.last_stage_summary))
+    elapsed, out, _best_stages = best
+    seg.last_stage_summary = _best_stages
     result = next(iter(out.values()))
     n_inst = len(result.get("instances", result))
     mpix = 2048 * 1536 / 1e6
@@ -1013,11 +1041,15 @@ def main() -> None:
     except Exception:
         link = {"sustained_mb_per_sec": None, "burst_mb_per_sec": None}
     link_sus = link["sustained_mb_per_sec"]
-    ceiling = (link_sus * 1e6 / PATCH_BYTES_YUV) if link_sus else None
-
     best = pp.get("best_run", {})
+    # link ceilings use the byte cost of the wire the headline actually
+    # rode (the sweep picks rgb on fast-link sessions, yuv420 on slow)
+    patch_bytes = (
+        PATCH_BYTES_RGB if best.get("wire") == "rgb" else PATCH_BYTES_YUV
+    )
+    ceiling = (link_sus * 1e6 / patch_bytes) if link_sus else None
     inrun_link = best.get("inrun_link_mb_per_sec")
-    inrun_ceiling = (inrun_link * 1e6 / PATCH_BYTES_YUV) if inrun_link else None
+    inrun_ceiling = (inrun_link * 1e6 / patch_bytes) if inrun_link else None
     details = {
         "e2e_runs": pp["all_runs"],
         "e2e_best_run": best,
@@ -1025,9 +1057,10 @@ def main() -> None:
         "torch_cpu_forward_pps": _r(ref["torch_cpu_forward_pps"]),
         "torch_cpu_e2e_pps": _r(ref["torch_cpu_e2e_pps"]),
         "e2e_rgb_pps": _r(pp["rgb_pps"], 1),
+        "e2e_yuv_pps": _r(pp.get("yuv_pps"), 1),
         "link_mb_per_sec": _r(link_sus, 1),
         "link_burst_mb_per_sec": _r(link["burst_mb_per_sec"], 1),
-        "wire_format": "yuv420 (1.5 B/px)",
+        "wire_format": best.get("wire"),
         "wire_prob_delta_max": round(pp["wire_prob_delta_max"], 5),
         "device_call_overhead_ms": _r(pp["device_call_overhead_ms"], 1),
         "stainnorm_kernel_mpix_per_sec": _r(sn["kernel_mpix_per_sec"]),
@@ -1078,6 +1111,7 @@ def main() -> None:
             _r(pp["pps"] / inrun_ceiling, 3) if inrun_ceiling else None
         ),
         "e2e_link_busy_frac": best.get("busy_frac"),
+        "headline_wire": best.get("wire"),
         "stainnorm_mpix_per_sec": _r(sn["mpix_per_sec"]),
         "stainnorm_ceiling_mpix_per_sec": sn.get(
             "measured_ceiling_mpix_per_sec"

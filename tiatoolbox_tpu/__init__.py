@@ -118,12 +118,13 @@ rcParam: dict = {
     "compute_dtype": "auto",  # "auto" = bfloat16 on TPU, float32 elsewhere
     "torch_compile_mode": "default",  # API parity; XLA jit is inherent
     # Persistent XLA compilation cache (first compile of a big program
-    # on a remote-attached chip is 30-90 s; cached reloads are ~ms).
-    # OPT-IN via TIATOOLBOX_TPU_JAX_CACHE=<dir>: XLA:CPU AOT entries
-    # embed host machine-feature fingerprints and reload across
-    # differently-configured processes with SIGILL-risk warnings, so
-    # sharing a cache dir is only safe on a stable host.
-    "jax_cache_dir": os.environ.get("TIATOOLBOX_TPU_JAX_CACHE", ""),
+    # on a remote-attached chip is 60-120 s MEASURED; cached reloads are
+    # ~1 s). Default: "auto" enables <TIATOOLBOX_HOME>/jax_cache on
+    # accelerator backends only. XLA:CPU AOT entries embed host
+    # machine-feature fingerprints and reload across differently-
+    # configured processes with SIGILL risk, so the CPU backend stays
+    # opt-in via TIATOOLBOX_TPU_JAX_CACHE=<dir> (set "" to disable).
+    "jax_cache_dir": os.environ.get("TIATOOLBOX_TPU_JAX_CACHE", "auto"),
 }
 
 
@@ -139,6 +140,12 @@ def _enable_jax_compilation_cache() -> None:
     try:
         import jax
 
+        if cache_dir == "auto":
+            # Accelerator executables are device code (no host-feature
+            # fingerprint hazard); the CPU backend stays opt-in.
+            if jax.default_backend() == "cpu":
+                return
+            cache_dir = str(Path(rcParam["TIATOOLBOX_HOME"]) / "jax_cache")
         if jax.config.jax_compilation_cache_dir != str(cache_dir):
             Path(cache_dir).mkdir(parents=True, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", str(cache_dir))

@@ -635,39 +635,41 @@ class HoVerNet(ModelABC):
     # label/cleanup work then overlaps the energy channel's fetch)
     postproc_accepts_views = True
 
-    # -- banded narrow fetch (engine hooks) --------------------------------------
+    # -- narrow fetch (engine hooks) ----------------------------------------------
     #
     # The watershed back-half consumes the stitched canvas through three
     # inputs with very different wire needs:
-    #   - foreground  = (np >= 0.5)       : pointwise  -> uint8, banded
-    #   - type map    = round(tp)          : pointwise  -> uint8, banded
+    #   - foreground  = (np >= 0.5)        : pointwise -> uint8 bit 0
+    #   - type map    = round(tp)          : pointwise -> uint8 bits 1-7
     #   - energy      = minmax-normalized Sobel landscape: GLOBAL minmax
-    #     over the full canvas -> must wait for the last scatter.
-    # The pointwise channels drain per row-block WHILE later bands are
-    # still being scattered (engine ``BlockDrain``); only the 2 B/px f16
-    # energy crosses the link after the loop. 3 x f16 (6 B/px) becomes
-    # 2 x u8 banded + 1 x f16 post-loop (2 B/px on the critical path).
+    #     over the full canvas -> fetched separately (f16 wire).
+    # fg and tp PACK into one uint8 plane (tp < 128 for every zoo
+    # entry), so the pointwise channels cross the link at 1 B/px and
+    # the full down-wire is 3 B/px vs 12 B/px for three f32 maps. The
+    # u8 fetch dispatches before the energy fetch: the host label/
+    # cleanup front-end runs while the energy plane is still draining.
 
-    def banded_fetch_spec(self, head_channels) -> tuple | None:
-        """(n_uint8_block_channels, n_final_channels) when the banded
-        narrow fetch applies to this head layout, else None."""
+    def banded_fetch_spec(self, head_channels) -> dict | None:
+        """Narrow-fetch layout when it applies to this head layout:
+        ``{"n_u8": block channels, "n_final": post-loop channels,
+        "packed_tp": tp rides fg's u8 plane}``; else None."""
         if list(head_channels) == [1, 2, 1]:
-            return (2, 1)
+            return {"n_u8": 1, "n_final": 1, "packed_tp": True}
         if list(head_channels) == [1, 2]:
-            return (1, 1)
+            return {"n_u8": 1, "n_final": 1, "packed_tp": False}
         return None
 
     def block_fetch_transform(self, normalized_rows, head_channels):
-        """Pointwise fetch channels of a count-normalized row block:
-        ``[fg := np >= 0.5 (, tp := round(tp))]`` as uint8. Traceable
-        (called inside the engine's per-block jit program)."""
+        """Pointwise fetch channel of a count-normalized row block:
+        ``fg | round(tp) << 1`` as uint8 (tp bits only when a type head
+        exists). Traceable (called inside the engine's jit program)."""
         import jax.numpy as jnp
 
         fg = (normalized_rows[..., 0] >= 0.5).astype(jnp.uint8)
-        chans = [fg]
         if len(head_channels) == 3:
-            chans.append(jnp.round(normalized_rows[..., 3]).astype(jnp.uint8))
-        return jnp.stack(chans, axis=-1)
+            tp = jnp.round(normalized_rows[..., 3]).astype(jnp.uint8)
+            fg = fg | (tp << 1)
+        return fg[..., None]
 
     def final_fetch_transform(self, normalized_canvas, head_channels):  # noqa: ARG002
         """Global-reduction fetch channel: the watershed energy
@@ -685,15 +687,22 @@ class HoVerNet(ModelABC):
         landscape (:meth:`transform_canvas_for_postproc`); two channels
         are raw hv maps processed via the host front-end.
         """
-        if len(raw_maps) == 3:
+        if len(raw_maps) == 2 and getattr(raw_maps[0], "packed_tp", False):
+            # narrow-fetch plane: fg in bit 0, rounded tp in bits 1-7
+            packed = np.asarray(raw_maps[0])
+            np_map = packed & 1
+            tp_map = (packed[..., 0] >> 1).astype(np.uint8)
+            hv_map = raw_maps[1]
+        elif len(raw_maps) == 3:
             np_map, hv_map, tp_map = raw_maps
             tp_map = np.asarray(tp_map)
             if tp_map.dtype != np.uint8:  # banded drain rounds on device
                 tp_map = np.around(tp_map).astype("uint8")
+            np_map = np.asarray(np_map)
         else:
             tp_map = None
             np_map, hv_map = raw_maps
-        np_map = np.asarray(np_map)
+            np_map = np.asarray(np_map)
         # hv_map stays UNMATERIALIZED here: a 1-channel map is the
         # device-precomputed energy landscape, possibly still draining
         # asynchronously — _proc_np_energy touches it only after the

@@ -290,7 +290,14 @@ class MultiTaskSegmentor(SemanticSegmentor):
             spec = spec_fn(head_channels)
         drain = None
         if spec is not None:
-            n_u8, n_final = spec
+            # ONE whole-canvas block: mid-loop row-block drains never
+            # overlapped anything on the tunneled relay (a device→host
+            # fetch in flight blocks host→device puts entirely —
+            # measured 0 MB/s — so ``bytes_hidden`` was 0 in every
+            # capture) while each extra block paid a 3-50 ms transfer
+            # latency. Post-loop, the u8 block dispatches BEFORE the
+            # energy fetch so host labeling starts while energy streams.
+            n_u8, n_final = spec["n_u8"], spec["n_final"]
             drain = BlockDrain(
                 self._make_normalized_block_fn(
                     canvas, w,
@@ -299,33 +306,14 @@ class MultiTaskSegmentor(SemanticSegmentor):
                 n_rows=h,
                 out_shape=(h, w, n_u8),
                 out_dtype=np.uint8,
+                block_h=h,
             )
-            band_final_rows = self._band_final_rows(
-                plan, positions_all[:, 0], h
-            )
-
-        # Mid-loop drain policy: dispatching block copies WHILE bands
-        # still ship contends with the up-wire on duplex-limited links
-        # (measured on the tunneled v5e: the MTS loop slowed more than
-        # the hidden fetch saved — wire 9.7 MB/s vs 16.7 clean). The
-        # MTS down-bytes are small (u8 narrow channels), so they drain
-        # post-loop by default; the semantic engine (whose full f16
-        # canvas is the dominant down-transfer) banding-drains mid-loop.
-        drain_during_loop = bool(getattr(self, "drain_during_loop", False))
 
         t_loop = _time.perf_counter()
         if plan is not None:
-            cur_band = 0
-            for idx, patches, n_valid, band_i in self._iter_band_batches(
+            for idx, patches, n_valid, _band_i in self._iter_band_batches(
                 dataset, plan, timer, self.batch_size
             ):
-                if (
-                    drain is not None
-                    and drain_during_loop
-                    and band_i != cur_band
-                ):
-                    drain.advance(int(band_final_rows[cur_band]))
-                cur_band = band_i
                 run_batch(patches, idx, n_valid, self.batch_size)
             path_name = "multitask-device-canvas+region-feed"
             wire_pixels = plan.wire_pixels
@@ -363,8 +351,11 @@ class MultiTaskSegmentor(SemanticSegmentor):
             if str(self.canvas_wire_dtype) in ("float16", "f16", "fp16"):
                 fin = fin.astype(jnp.float16)
             ebuf, ewm = fetch_chunked_async(fin, dtype=np.float32)
+            u8_view = LazyRowsView(drain.buf, drain.watermark, slice(0, 1))
+            if spec.get("packed_tp"):
+                u8_view.packed_tp = True  # model unpacks fg/tp bits
             head_maps = [
-                LazyRowsView(drain.buf, drain.watermark, slice(0, 1)),
+                u8_view,
                 LazyRowsView(ebuf, ewm, slice(0, 1)),
             ]
             if n_u8 == 2:
@@ -374,10 +365,10 @@ class MultiTaskSegmentor(SemanticSegmentor):
             summary = timer.summary()
             summary["path"] = path_name + "+banded-u8+device-energy"
             summary["wire_pixels"] = wire_pixels
-            summary["fetch-banded"] = {
-                "items": h * w * n_u8,
-                "bytes_hidden": drain.bytes_hidden,
-            }
+            summary["band_wire"] = getattr(
+                self, "_resolved_band_wire", self.band_wire
+            )
+            summary["fetch-banded"] = {"items": h * w * n_u8}
             self.last_stage_summary = summary
             self._pending_fetch = (ewm, h * w * n_final)
             return {"head_maps": head_maps, "canvas_wh": canvas_wh}
@@ -428,6 +419,9 @@ class MultiTaskSegmentor(SemanticSegmentor):
         summary = timer.summary()
         summary["path"] = path_name
         summary["wire_pixels"] = wire_pixels
+        summary["band_wire"] = getattr(
+            self, "_resolved_band_wire", self.band_wire
+        )
         self.last_stage_summary = summary
         self._pending_fetch = (watermark, h * w * sum(fetch_channels))
         return {"head_maps": head_maps, "canvas_wh": canvas_wh}

@@ -341,10 +341,26 @@ class SemanticSegmentor(EngineABC):
         preproc = getattr(dataset, "preproc_func", None)
         if preproc is not None and preproc is not ModelABC.preproc:
             return None  # per-patch host preproc can't run on-device
+        inputs = np.asarray(dataset.inputs)
+        min_bands = 6
+        if str(getattr(self, "band_wire", "rgb")) == "auto":
+            # Band count rides the link regime: each band pays one
+            # per-transfer latency (3-50 ms measured, relay-state
+            # dependent), so a band's payload should dwarf it —
+            # bandwidth-starved links still want depth for decode/put
+            # pipelining (capped at 6).
+            from tiatoolbox_tpu.parallel.pipeline import probe_link
+
+            p = probe_link()
+            ext = inputs[:, 2:].max(axis=0) - inputs[:, :2].min(axis=0)
+            total_bytes = float(ext[0]) * float(ext[1]) * 3
+            lat_bytes = 4 * p["latency_s"] * p["bw_mb_per_sec"] * 1e6
+            min_bands = int(np.clip(total_bytes / max(lat_bytes, 1.0), 1, 6))
         return BandPlan.build(
-            np.asarray(dataset.inputs),
+            inputs,
             patch_wh=dataset.patch_input_shape,
             stride_wh=dataset.stride_shape,
+            min_bands=min_bands,
         )
 
     def _iter_band_batches(self, dataset, plan, timer, batch_size: int):
@@ -364,7 +380,17 @@ class SemanticSegmentor(EngineABC):
 
         from tiatoolbox_tpu.ops.region import extract_patches
 
-        use_yuv = str(getattr(self, "band_wire", "rgb")) == "yuv420"
+        wire = str(getattr(self, "band_wire", "rgb"))
+        if wire == "auto":
+            # yuv420 trades ~10 ms/MPix of host pack CPU for half the
+            # wire bytes: a win only when the link is the binding term.
+            # cv2 packs rgb at ~100 MB/s on one core, so the crossover
+            # sits near packrate/2; probe the live link and pick.
+            from tiatoolbox_tpu.parallel.pipeline import probe_link_mb_per_sec
+
+            wire = "yuv420" if probe_link_mb_per_sec() < 80.0 else "rgb"
+        self._resolved_band_wire = wire
+        use_yuv = wire == "yuv420"
         if use_yuv:
             from tiatoolbox_tpu.ops.colorconv import (
                 rgb_image_to_yuv420,
@@ -427,24 +453,6 @@ class SemanticSegmentor(EngineABC):
                 band_i += 1
                 next(progress_iter, None)
 
-    @staticmethod
-    def _band_final_rows(plan, start_ys: np.ndarray, h: int) -> np.ndarray:
-        """Canvas rows final after each band: rows above the earliest
-        scatter start of any LATER band can never be touched again
-        (patches only extend downward from their start)."""
-        n_bands = len(plan.bands)
-        band_min = np.full(n_bands + 1, h, dtype=np.int64)
-        for i, band in enumerate(plan.bands):
-            ys = start_ys[np.asarray(band.ds_indices)]
-            band_min[i] = int(ys.min()) if len(ys) else h
-        # suffix min over bands AFTER i
-        final = np.empty(n_bands, dtype=np.int64)
-        running = h
-        for i in range(n_bands - 1, -1, -1):
-            final[i] = running
-            running = min(running, band_min[i])
-        return np.clip(final, 0, h)
-
     def _make_normalized_block_fn(
         self, canvas, w: int, out_dtype=None, transform=None
     ):
@@ -487,19 +495,20 @@ class SemanticSegmentor(EngineABC):
     ) -> dict:
         """Device-canvas stitch fed by once-shipped slide bands.
 
-        The canvas drains to the host in row blocks WHILE later bands
-        are still being scattered (rows above the next band's earliest
-        scatter are final — count-normalization is pointwise, so no
-        global term blocks an early fetch). On tunneled links this
-        hides the whole-canvas fetch behind the compute loop instead of
-        serializing after it.
+        Up-transfers (bands) and the down-transfer (canvas) strictly
+        phase-separate. Measured on the tunneled v5e: a device→host
+        fetch in flight blocks host→device puts ENTIRELY (0 MB/s), so
+        the r4 mid-loop "hidden" row-block drain never overlapped
+        anything (``bytes_hidden: 0`` in every capture) while paying a
+        per-block transfer latency (3-50 ms each, relay-state
+        dependent). The canvas now leaves in ONE fused
+        normalize+crop+cast program and ONE fetch.
         """
         import time as _time
 
         import jax.numpy as jnp
 
         from tiatoolbox_tpu.ops.canvas import DeviceCanvas
-        from tiatoolbox_tpu.parallel.pipeline import BlockDrain
         from tiatoolbox_tpu.utils.profiling import StageTimer
 
         dataset = dataloader.dataset
@@ -516,26 +525,13 @@ class SemanticSegmentor(EngineABC):
 
         h, w = int(canvas_wh[1]), int(canvas_wh[0])
         f16 = str(self.canvas_wire_dtype) in ("float16", "f16", "fp16")
-        drain = BlockDrain(
-            self._make_normalized_block_fn(
-                canvas, w, jnp.float16 if f16 else jnp.float32
-            ),
-            n_rows=h,
-            out_shape=(h, w, n_channels),
-            out_dtype=np.float32,
-        )
-        final_rows = self._band_final_rows(plan, starts_canvas[:, 1], h)
 
         batch_size = self.batch_size
         t_loop = _time.perf_counter()
         bands = plan.bands
-        cur_band = 0
-        for idx, patches, n_valid, band_i in self._iter_band_batches(
+        for idx, patches, n_valid, _band_i in self._iter_band_batches(
             dataset, plan, timer, batch_size
         ):
-            if band_i != cur_band:
-                drain.advance(int(final_rows[cur_band]))
-                cur_band = band_i
             probs = self.model.infer_batch_device(
                 self.model, patches, self.device
             )
@@ -546,12 +542,19 @@ class SemanticSegmentor(EngineABC):
         timer.add("dispatch-wall", _time.perf_counter() - t_loop)
 
         with timer.stage("fetch", items=h * w * n_channels):
-            fetched = drain.finish()
+            block_fn = self._make_normalized_block_fn(
+                canvas, w, jnp.float16 if f16 else jnp.float32
+            )
+            fetched = np.asarray(block_fn(0, h)).astype(
+                np.float32, copy=False
+            )
         summary = timer.summary()
-        summary["path"] = "device-canvas+region-feed+banded-drain"
+        summary["path"] = "device-canvas+region-feed"
         summary["wire_pixels"] = plan.wire_pixels
         summary["n_bands"] = len(bands)
-        summary["fetch"]["bytes_hidden"] = drain.bytes_hidden
+        summary["band_wire"] = getattr(
+            self, "_resolved_band_wire", self.band_wire
+        )
         self.last_stage_summary = summary
         return {"probabilities": fetched}
 

@@ -21,6 +21,76 @@ from typing import Iterator
 import numpy as np
 
 
+_link_probe_cache: dict = {"rate": None, "t": 0.0}
+
+
+def probe_link_mb_per_sec(
+    nbytes: int = 2 << 20, max_age_s: float = 120.0
+) -> float:
+    """Measured host→device link rate (MB/s), cached for ``max_age_s``.
+
+    Remote-attached chips ride a relay whose rate wanders by >30x
+    between sessions (measured 25 MB/s to 1.4 GB/s on the same tunnel);
+    wire-format choices made from stale numbers pick the wrong side of
+    the pack-CPU-vs-link-bytes trade. The probe ships incompressible
+    (random) bytes — the relay compresses, so zeros overstate the rate.
+    """
+    import jax
+
+    now = time.monotonic()
+    if (
+        _link_probe_cache["rate"] is not None
+        and now - _link_probe_cache["t"] < max_age_s
+    ):
+        return _link_probe_cache["rate"]
+    return probe_link(nbytes=nbytes, max_age_s=max_age_s)["rate_mb_per_sec"]
+
+
+def probe_link(nbytes: int = 2 << 20, max_age_s: float = 120.0) -> dict:
+    """Two-point host→device link probe: rate, bandwidth and latency.
+
+    A small transfer's rate conflates per-transfer latency with stream
+    bandwidth — the relay has shown BOTH regimes (3-50 ms/transfer
+    latency; 35 MB/s-1.4 GB/s streams), and the two call for opposite
+    batching choices. Timing a small and a 4x-larger put separates
+    them: ``bw = 3*nbytes/(t_big - t_small)``, ``lat = t_small -
+    nbytes/bw``. Medians over 3 reps each; first put discarded (the
+    relay's first transfer after idle runs ~30x slow).
+    """
+    import jax
+
+    now = time.monotonic()
+    cached = _link_probe_cache.get("full")
+    if cached is not None and now - _link_probe_cache["t"] < max_age_s:
+        return cached
+
+    rng = np.random.default_rng(0)  # incompressible: the relay compresses
+    small = rng.integers(0, 255, size=(nbytes,), dtype=np.uint8)
+    big = rng.integers(0, 255, size=(4 * nbytes,), dtype=np.uint8)
+    jax.device_put(small).block_until_ready()  # warm-up, discarded
+
+    def timed(buf) -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_put(buf).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_small, t_big = timed(small), timed(big)
+    bw = 3 * nbytes / 1e6 / max(t_big - t_small, 1e-6)
+    lat = max(t_small - nbytes / 1e6 / bw, 0.0)
+    out = {
+        "rate_mb_per_sec": nbytes / 1e6 / max(t_small, 1e-9),
+        "bw_mb_per_sec": bw,
+        "latency_s": lat,
+    }
+    _link_probe_cache["full"] = out
+    _link_probe_cache["rate"] = out["rate_mb_per_sec"]
+    _link_probe_cache["t"] = time.monotonic()
+    return out
+
+
 class BatchLoader:
     """Iterate a dataset as fixed-size batches with background prefetch.
 
@@ -168,17 +238,20 @@ class BatchLoader:
 
 def fetch_chunked(
     device_array,
-    n_threads: int = 8,
-    n_chunks: int = 16,
+    n_threads: int = 2,
+    n_chunks: int = 1,
     dtype=None,
 ) -> np.ndarray:
-    """Device→host fetch of a large array via concurrent row-chunk copies.
+    """Device→host fetch, optionally via concurrent row-chunk copies.
 
-    A single ``np.asarray`` on a tunneled device drains at
-    single-stream link rate; fetching ``n_chunks`` row slices from
-    ``n_threads`` threads overlaps the copies (measured v5e-tunnel:
-    14 → 41 MB/s at 8 threads on a 12.6 MB canvas). On PCIe-attached
-    hosts the chunking is a harmless ~µs overhead.
+    Chunk counts are a RELAY-STATE trade: one early tunnel state drained
+    single-stream at 14 MB/s and 8-thread/16-chunk copies reached 41
+    MB/s, but a later state executed each chunk's slice program
+    serialized on the device stream with a 3-50 ms per-transfer RTT —
+    measured 34.6 s for a 16-chunk 12.6 MB fetch vs 0.42 s in ONE
+    transfer (82x). Chunking's best case saves ~3x; its worst case
+    costs ~80x, so the default is a single transfer; callers that know
+    their link may raise ``n_chunks``.
 
     Args:
         device_array: jax array (any rank ≥ 1; split along axis 0).
@@ -254,8 +327,8 @@ class RowWatermark:
 
 def fetch_chunked_async(
     device_array,
-    n_threads: int = 8,
-    n_chunks: int = 16,
+    n_threads: int = 2,
+    n_chunks: int = 1,
     dtype=None,
 ) -> tuple[np.ndarray, RowWatermark]:
     """Start a ``fetch_chunked``-style drain in the background.
@@ -263,6 +336,8 @@ def fetch_chunked_async(
     Returns the (still-filling) host buffer and a :class:`RowWatermark`;
     row-range consumers gate on ``wait_rows`` so host post-processing
     overlaps the device→host drain instead of serializing behind it.
+    Defaults to ONE background transfer — see :func:`fetch_chunked` for
+    the measured 82x chunking downside on the tunneled relay.
     """
     import math
     from concurrent.futures import ThreadPoolExecutor
