@@ -142,3 +142,39 @@ def test_block_drain_flush_then_view_gates():
     view = LazyRowsView(drain.buf, drain.watermark, slice(0, 1))
     np.testing.assert_array_equal(view[0:16], src[:16, :, 0:1])
     np.testing.assert_array_equal(np.asarray(view), src[..., 0:1])
+
+
+def test_probe_link_reports_bw_and_latency():
+    """Two-point probe returns positive bandwidth/latency and caches."""
+    from tiatoolbox_tpu.parallel import pipeline
+
+    pipeline._link_probe_cache["rate"] = None
+    pipeline._link_probe_cache.pop("full", None)
+    out = pipeline.probe_link(nbytes=1 << 18)
+    assert out["rate_mb_per_sec"] > 0
+    assert out["bw_mb_per_sec"] > 0
+    assert out["latency_s"] >= 0
+    # cached within TTL: same dict object, no re-probe
+    assert pipeline.probe_link(nbytes=1 << 18) is out
+    assert pipeline.probe_link_mb_per_sec() == out["rate_mb_per_sec"]
+
+
+def test_wire_format_auto_pins_until_reassigned():
+    """'auto' resolves once per assignment (mid-run flips would compile
+    a second wire program inside a serving loop)."""
+    import jax
+
+    from tiatoolbox_tpu.models.architecture.vanilla import CNNModel
+
+    model = CNNModel("resnet18", num_classes=2)
+    model.init(input_shape=(1, 32, 32, 3))
+    model.wire_format = "auto"
+    batch = np.zeros((2, 32, 32, 3), np.uint8)
+    first = model.stage_batch(batch)
+    resolved = model._resolved_wire_format
+    assert resolved in ("rgb", "yuv420")
+    assert isinstance(first, jax.Array)
+    # pinned on the instance; reassignment clears the pin
+    assert model._resolved_wire_format == resolved
+    model.wire_format = "rgb"
+    assert model._resolved_wire_format is None

@@ -412,8 +412,13 @@ class SemanticSegmentor(EngineABC):
                 with timer.stage("pack", items=img.nbytes):
                     img = rgb_image_to_yuv420(img)
             with timer.stage("wire", items=img.nbytes):
+                # async on purpose: the put's ready-event enqueues
+                # BEHIND all queued executions on the relay's single
+                # stream, so awaiting it here would lock staging to the
+                # compute cadence; in-flight volume is bounded by the
+                # staging window (~3 bands). The stage records submit
+                # time only — the transfer itself rides under compute.
                 dev = jax.device_put(np.ascontiguousarray(img))
-                dev.block_until_ready()
             return dev
 
         bands = plan.bands

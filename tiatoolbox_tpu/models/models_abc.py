@@ -52,8 +52,18 @@ class ModelABC:
         self.mesh = None  # set by enable_data_parallel()
         # Streaming wire format for engine feeds: "rgb" ships raw uint8
         # NHWC; "yuv420" ships full-range BT.601 4:2:0 planes (half the
-        # bytes/patch — see ops/colorconv.py) unpacked on device.
+        # bytes/patch — see ops/colorconv.py) unpacked on device;
+        # "auto" probes the link once per assignment (see stage_batch).
         self.wire_format = "rgb"
+
+    @property
+    def wire_format(self) -> str:
+        return self._wire_format
+
+    @wire_format.setter
+    def wire_format(self, value: str) -> None:
+        self._wire_format = value
+        self._resolved_wire_format = None  # "auto" re-probes
 
     # Closure-constant weights ride inside the serialized computation;
     # remote-compile transports reject oversized payloads (the tunnel's
@@ -269,10 +279,20 @@ class ModelABC:
             # Probe the live link: the yuv420 pack spends ~10 ms/MPix of
             # host CPU to halve the wire bytes — a win only while the
             # link (25 MB/s to 1.4 GB/s measured on the same tunnel,
-            # session-dependent) is the binding term.
-            from tiatoolbox_tpu.parallel.pipeline import probe_link_mb_per_sec
+            # session-dependent) is the binding term. The resolution is
+            # PINNED per model instance: a mid-run flip would switch the
+            # batch shape and trigger a compile inside a serving loop.
+            # Re-assigning ``wire_format`` re-probes.
+            wire = self._resolved_wire_format
+            if wire is None:
+                from tiatoolbox_tpu.parallel.pipeline import (
+                    probe_link_mb_per_sec,
+                )
 
-            wire = "yuv420" if probe_link_mb_per_sec() < 80.0 else "rgb"
+                wire = (
+                    "yuv420" if probe_link_mb_per_sec() < 80.0 else "rgb"
+                )
+                self._resolved_wire_format = wire
         if (
             wire == "yuv420"
             and getattr(batch, "ndim", 0) == 4
